@@ -1,0 +1,120 @@
+"""Transitive clustering: large-star / small-star connected components.
+
+Replaces (not ports) the reference's greedy, order-dependent incremental
+clusterer (reference: latest/tools/state.py:44-207 — cursor-driven merge of
+mutable cluster lists). The replacement is the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14) expressed as DataFrame self-joins: order-free,
+deterministic (component id = min member id), and O(log n) rounds.
+
+Equivalence to the reference: its greedy decode merges exactly the
+transitive closure of accepted pairwise links within a block (the gold-
+replay fidelity test, reference latest/tools/test.py:4-36, asserts this
+closure reproduces gold clusters) — which is precisely what connected
+components computes, minus the order-dependence.
+
+Scale notes: each round is one groupBy + one join on longs; localCheckpoint
+truncates lineage so plans don't grow with rounds; high-degree nodes are
+handled by large-star's design (neighbors > u re-attach to the min, so hot
+components star-collapse instead of chaining); AQE re-sizes each round's
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("u"), F.col("v"))
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each u: every neighbor v > u links to min(N(u) ∪ {u}).
+    Needs the symmetric neighbor view, so symmetrizes its input."""
+    sym = _symmetrize(edges)
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("mn"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient u ≥ v; every v in N⁻(u) ∪ {u} links to its min."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = oriented.groupBy("u").agg(F.min("v").alias("mn"))
+    relink = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+    )
+    self_link = mins.select(F.col("u"), F.col("mn").alias("v"))
+    return (
+        relink.union(self_link)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 50,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """edges(u long, v long) → assignments(node long, component long)
+    where component is the minimum node id in the component. Nodes that
+    appear in no edge are absent (caller unions singletons; see
+    attach_singletons)."""
+    cur = (
+        edges.select(F.col("u"), F.col("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for i in range(max_iter):
+        cur = _small_star(_large_star(cur))
+        if checkpoint_every and (i % checkpoint_every == 0):
+            cur = cur.localCheckpoint(eager=True)
+        # edge-set signature: count + XOR of row hashes (overflow-free under
+        # ANSI mode; edges are distinct so XOR is a valid set digest)
+        sig = cur.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: every edge is (node, root) with root = component min
+    assign = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = cur.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return assign.unionByName(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+
+
+def attach_singletons(nodes: DataFrame, assign: DataFrame, id_col: str = "mention_uid") -> DataFrame:
+    """Mentions untouched by any accepted link become their own cluster —
+    the reference's singleton fill (reference: latest/tools/state.py:209-215)
+    as a left join + coalesce."""
+    return (
+        nodes.join(
+            assign.withColumnRenamed("node", id_col), id_col, "left"
+        )
+        .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("component")
+    )

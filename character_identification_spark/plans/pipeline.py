@@ -1,0 +1,170 @@
+"""The end-to-end record-linkage pipeline: checkpointed, resumable, metered.
+
+Stage graph (each stage = one checkpoint table + one metrics row + a
+per-partition lineage table):
+
+  pages ─extract→ extracted ─mentions→ mentions ─blocks→ block_assign
+        ─pairs→ candidate_pairs ─scores→ scored_pairs ─edges→ match_edges
+        ─cluster→ assignments ─entities→ entities
+
+Resume: a stage whose output table already exists (committed _SUCCESS /
+Iceberg snapshot) is skipped and its table re-read — so a killed job
+restarts from the last finished stage, the reference's pickle-checkpoint
+pattern (reference: latest/export_noc_clusters.py:167-173 →
+latest/run-linking.py:36-38) promoted to real tables. ``force`` recomputes
+everything.
+
+Metrics (stage, rows, wall_s, inputs) and lineage (stage, partition_id,
+rows) append to ``_meta_metrics`` / ``_meta_lineage`` — the north rule's
+per-partition lineage + metrics tables, and the distributed analog of the
+reference's Timer logging (reference: python/util/__init__.py:5-28).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from character_identification_spark.evaluation.pairf1 import (
+    gold_pairs_from_mentions,
+    pairwise_f1,
+)
+from character_identification_spark.ingest.extract import extracted_pages
+from character_identification_spark.ingest.mentions import extract_mentions
+from character_identification_spark.operators.blocking import assign_blocks
+from character_identification_spark.operators.canonicalize import canonical_entities
+from character_identification_spark.operators.cc import (
+    attach_singletons,
+    connected_components,
+)
+from character_identification_spark.operators.pairs import generate_pairs
+from character_identification_spark.operators.scoring import score_pairs
+from character_identification_spark.sources.catalog import StageStore
+
+
+@dataclass
+class PipelineConfig:
+    keep_lang: str | None = "en"
+    prefix_len: int = 4
+    n_gram: int = 3
+    num_hashes: int = 12
+    band_size: int = 2
+    max_block_size: int | None = 200
+    threshold: float = 0.82
+    cc_max_iter: int = 50
+    catalog: str | None = None
+    force: bool = False
+    partition_by: dict = field(default_factory=dict)  # stage -> cols
+
+
+def _run_stage(store: StageStore, name: str, inputs: list[str], build, cfg: PipelineConfig) -> DataFrame:
+    spark = store.spark
+    if store.exists(name) and not cfg.force:
+        return store.read(name)
+    t0 = time.monotonic()
+    df = build()
+    store.write(df, name, tuple(cfg.partition_by.get(name, ())))
+    out = store.read(name)
+    wall = time.monotonic() - t0
+    lineage = out.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count("*").alias("rows")
+    ).withColumn("stage", F.lit(name))
+    store.append(lineage.select("stage", "partition_id", "rows"), "_meta_lineage")
+    n = out.count()
+    metrics = spark.createDataFrame(
+        [(name, n, float(wall), ",".join(inputs))],
+        "stage string, rows long, wall_s double, inputs string",
+    )
+    store.append(metrics, "_meta_metrics")
+    return out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    workdir: str,
+    cfg: PipelineConfig | None = None,
+) -> dict[str, DataFrame]:
+    """Run all stages over a pages DF; returns every stage's DataFrame."""
+    cfg = cfg or PipelineConfig()
+    store = StageStore(spark, workdir, cfg.catalog)
+
+    extracted = _run_stage(
+        store, "extracted", ["pages"], lambda: extracted_pages(pages, cfg.keep_lang), cfg
+    )
+    mentions = _run_stage(
+        store, "mentions", ["extracted"], lambda: extract_mentions(extracted), cfg
+    )
+    blocks = _run_stage(
+        store,
+        "block_assign",
+        ["mentions"],
+        lambda: assign_blocks(
+            mentions,
+            prefix_len=cfg.prefix_len,
+            n_gram=cfg.n_gram,
+            num_hashes=cfg.num_hashes,
+            band_size=cfg.band_size,
+            max_block_size=cfg.max_block_size,
+        ),
+        cfg,
+    )
+    pairs = _run_stage(
+        store,
+        "candidate_pairs",
+        ["mentions", "block_assign"],
+        lambda: generate_pairs(mentions, blocks),
+        cfg,
+    )
+    scored = _run_stage(
+        store,
+        "scored_pairs",
+        ["candidate_pairs"],
+        lambda: score_pairs(pairs, cfg.threshold),
+        cfg,
+    )
+    edges = _run_stage(
+        store,
+        "match_edges",
+        ["scored_pairs"],
+        lambda: scored.filter(F.col("is_match")).select(
+            F.col("uid1").alias("u"), F.col("uid2").alias("v")
+        ),
+        cfg,
+    )
+    assignments = _run_stage(
+        store,
+        "assignments",
+        ["match_edges", "mentions"],
+        lambda: attach_singletons(
+            mentions, connected_components(edges, max_iter=cfg.cc_max_iter)
+        ),
+        cfg,
+    )
+    entities = _run_stage(
+        store,
+        "entities",
+        ["assignments"],
+        lambda: canonical_entities(assignments),
+        cfg,
+    )
+    return {
+        "extracted": extracted,
+        "mentions": mentions,
+        "block_assign": blocks,
+        "candidate_pairs": pairs,
+        "scored_pairs": scored,
+        "match_edges": edges,
+        "assignments": assignments,
+        "entities": entities,
+    }
+
+
+def evaluate_pipeline(results: dict[str, DataFrame], gold_mentions: DataFrame) -> dict:
+    """Pairwise F1 of produced assignments vs gold, at the gold blocking
+    keys (the BASELINE.json target metric)."""
+    gold_pairs = gold_pairs_from_mentions(gold_mentions)
+    return pairwise_f1(results["assignments"], gold_pairs)
