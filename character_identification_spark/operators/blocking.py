@@ -42,7 +42,20 @@ def sortkey_blocks(mentions: DataFrame, prefix_len: int = 4) -> DataFrame:
         "mention_uid",
         F.concat(F.lit("sx:"), F.soundex(F.split("norm", " ").getItem(0))).alias("block_key"),
     )
-    return prefix.unionByName(phonetic)
+    # initial + last token ("r geller" ∧ "ross geller" → "il:r:geller"):
+    # the deterministic bridge for initialed aliases, which MinHash only
+    # catches probabilistically (J≈0.5 → a band hit ~80% of the time)
+    toks = F.split("norm", " ")
+    init_last = mentions.select(
+        "mention_uid",
+        F.concat(
+            F.lit("il:"),
+            F.substring(F.element_at(toks, 1), 1, 1),
+            F.lit(":"),
+            F.element_at(toks, -1),
+        ).alias("block_key"),
+    ).filter(F.size(toks) >= 2)
+    return prefix.unionByName(phonetic).unionByName(init_last)
 
 
 def char_shingles(col, n: int = 3):
@@ -129,16 +142,20 @@ def assign_blocks(
 def cap_block_sizes(assign: DataFrame, max_block_size: int) -> DataFrame:
     """Deterministically salt-split blocks larger than max_block_size.
 
-    Every row in an oversize block gets `block_key#salt` with
-    salt = uid_hash mod ceil(size/cap); pairs then form only within a
-    sub-block, bounding per-task pair fan-out to ~cap². Deterministic in the
-    row (hash-based), independent of partitioning — resume-safe.
+    Rows of an oversize block get `block_key#salt` with salt assigned
+    round-robin over the block's rows ranked by mention_uid — every
+    sub-block ends up ≤ max_block_size exactly, so per-task pair fan-out is
+    strictly bounded by cap². Deterministic in the data (rank by uid),
+    independent of physical partitioning — resume-safe. The window shuffles
+    on block_key, the same key the size count needs anyway.
     """
-    sizes = assign.groupBy("block_key").agg(F.count("*").alias("bsz"))
+    w = Window.partitionBy("block_key").orderBy("mention_uid")
+    sized = assign.withColumn("rn", F.row_number().over(w)).withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("block_key"))
+    )
     nsplit = F.ceil(F.col("bsz") / max_block_size)
     return (
-        assign.join(sizes, "block_key")
-        .withColumn(
+        sized.withColumn(
             "block_key",
             F.when(
                 F.col("bsz") <= max_block_size, F.col("block_key")
@@ -146,9 +163,9 @@ def cap_block_sizes(assign: DataFrame, max_block_size: int) -> DataFrame:
                 F.concat(
                     F.col("block_key"),
                     F.lit("#"),
-                    F.pmod(h_long(F.col("mention_uid")), nsplit).cast("string"),
+                    F.pmod(F.col("rn") - 1, nsplit).cast("string"),
                 )
             ),
         )
-        .drop("bsz")
+        .drop("rn", "bsz")
     )

@@ -1,0 +1,74 @@
+"""Pair generation and scoring semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from character_identification_spark.operators.pairs import generate_pairs
+from character_identification_spark.operators.scoring import score_pairs
+
+
+def test_generate_pairs_blocked_ordered_deduped(spark):
+    mentions = spark.createDataFrame(
+        [(1, "ross geller", "Ross Geller"), (2, "ross gellar", "Ross Gellar"),
+         (3, "monica bing", "Monica Bing")],
+        "mention_uid long, norm string, surface string",
+    )
+    assign = spark.createDataFrame(
+        # 1,2 share two blocks (pair must dedup); 3 isolated
+        [(1, "b1"), (2, "b1"), (1, "b2"), (2, "b2"), (3, "b3")],
+        "mention_uid long, block_key string",
+    )
+    pairs = generate_pairs(mentions, assign).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["uid1"], p["uid2"]) == (1, 2)
+    assert p["block_key"] == "b1"  # deterministic min provenance
+    assert p["norm_1"] == "ross geller" and p["norm_2"] == "ross gellar"
+
+
+def test_no_cross_block_pairs(spark):
+    mentions = spark.createDataFrame(
+        [(i, f"n{i}", f"s{i}") for i in range(6)],
+        "mention_uid long, norm string, surface string",
+    )
+    assign = spark.createDataFrame(
+        [(i, "A" if i < 3 else "B") for i in range(6)],
+        "mention_uid long, block_key string",
+    )
+    pairs = generate_pairs(mentions, assign)
+    assert pairs.count() == 6  # 3C2 + 3C2, no cross-block pairs
+    bad = pairs.filter(
+        ((F.col("uid1") < 3) & (F.col("uid2") >= 3))
+    ).count()
+    assert bad == 0
+
+
+@pytest.mark.parametrize(
+    "n1,n2,expected",
+    [
+        ("ross geller", "ross geller", True),   # exact
+        ("ross geller", "ross gellar", True),   # typo
+        ("ross", "ross geller", True),          # containment alias
+        ("c bunch", "carol bunch", True),       # initial alias
+        ("monica bing", "joey tribbiani", False),
+    ],
+)
+def test_score_pairs_decisions(spark, n1, n2, expected):
+    pairs = spark.createDataFrame(
+        [(1, 2, "b", n1, n2)], "uid1 long, uid2 long, block_key string, norm_1 string, norm_2 string"
+    )
+    row = score_pairs(pairs).collect()[0]
+    assert bool(row["is_match"]) is expected, (n1, n2, row["score"])
+
+
+def test_score_monotone_features(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, "b", "ross geller", "ross geller"),
+         (3, 4, "b", "ross geller", "monica bing")],
+        "uid1 long, uid2 long, block_key string, norm_1 string, norm_2 string",
+    )
+    rows = {r["uid1"]: r for r in score_pairs(pairs).collect()}
+    assert rows[1]["jw"] == 1.0 and rows[1]["lev_ratio"] == 1.0
+    assert rows[1]["score"] > rows[3]["score"]

@@ -1,0 +1,57 @@
+"""String similarity functions: known values + DuckDB parity for
+Jaro-Winkler, LCS ratios (the reference's feature, util/__init__.py:57-79
+re-derived), and normalization."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from character_identification_spark.functions.strings import (
+    jaro_winkler,
+    jaro_winkler_udf,
+    lcs_ratio_udf,
+    norm_text,
+)
+
+PAIRS = [
+    ("ross geller", "ross geller"),
+    ("ross geller", "ross gellar"),
+    ("martha", "marhta"),
+    ("dixon", "dicksonx"),
+    ("", "abc"),
+    ("", ""),
+    ("a", "a"),
+    ("monica", "phoebe"),
+]
+
+
+@pytest.mark.parametrize("a,b", PAIRS)
+def test_jaro_winkler_matches_duckdb(a, b):
+    (exp,) = duckdb.sql(
+        "select jaro_winkler_similarity(?, ?)", params=[a, b]
+    ).fetchone()
+    assert jaro_winkler(a, b) == pytest.approx(exp, abs=1e-9)
+
+
+def test_jaro_winkler_udf_batch(spark):
+    df = spark.createDataFrame(PAIRS, "a string, b string")
+    rows = df.select("a", "b", jaro_winkler_udf("a", "b").alias("jw")).collect()
+    for r in rows:
+        assert r["jw"] == pytest.approx(jaro_winkler(r["a"], r["b"]), abs=1e-9)
+
+
+def test_lcs_ratio_known_values(spark):
+    df = spark.createDataFrame([("abcde", "ace"), ("abc", "xyz")], "a string, b string")
+    rows = {(r["a"], r["b"]): r["lr"] for r in df.select("a", "b", lcs_ratio_udf("a", "b").alias("lr")).collect()}
+    assert rows[("abcde", "ace")] == pytest.approx([3 / 5, 3 / 3])
+    assert rows[("abc", "xyz")] == pytest.approx([0.0, 0.0])
+
+
+def test_norm_text(spark):
+    df = spark.createDataFrame(
+        [("  Ross GELLER!! ",), ("J.R.R.  Tolkien",), ("---",)], "s string"
+    )
+    out = [r["n"] for r in df.select(norm_text("s").alias("n")).collect()]
+    assert out == ["ross geller", "j r r tolkien", ""]
