@@ -1,0 +1,318 @@
+"""Document deduplication operators for training-data pipelines.
+
+Five families over a ``documents(doc_id, text)``-shaped table, all
+expressed Spark-first and (where value-level oracle checks make sense)
+computable identically in DuckDB via the md5 primitives in
+functions/hashing.py:
+
+  exact_dedup        md5-digest groupBy — byte-level duplicates
+  minhash_signatures banded MinHash over word/char shingles (near-dup)
+  minhash_dup_pairs  LSH candidate pairs + exact-Jaccard verification
+  simhash            60-bit SimHash (bit votes over hashed tokens)
+  simhash_dup_pairs  Hamming-distance candidates via band equality
+  embedding_dup_pairs cosine near-dup over an embedding column
+
+They generalize the ER pipeline's blocking machinery (operators/blocking.py)
+from person-name mentions to whole documents — the reference's
+scene-blocking idea (reference: latest/system.py:46) applied to content
+dedup. At 10^12-doc scale the shingle explode is the dominant shuffle;
+signatures are O(num_hashes) per doc and band buckets are capped the same
+way mention blocks are (cap_block_sizes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from character_identification_spark.functions.hashing import h_long
+from character_identification_spark.functions.vectors import cosine_sim
+
+SIMHASH_BITS = 60  # fits a signed 64-bit long; 15 hex digits of md5
+
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """→ (doc_id, digest, group_size, canonical_id, is_duplicate).
+
+    canonical = min doc_id per digest (deterministic); is_duplicate marks
+    rows a dedup pass would drop. One groupBy shuffle on the digest —
+    map-side partial aggregation applies, no skew (digests are uniform).
+    """
+    d = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+    groups = d.groupBy("digest").agg(
+        F.count("*").alias("group_size"), F.min(id_col).alias("canonical_id")
+    )
+    return d.join(groups, "digest").select(
+        id_col,
+        "digest",
+        "group_size",
+        "canonical_id",
+        (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles + MinHash
+# --------------------------------------------------------------------------
+
+def word_shingles(col, n: int = 3):
+    """Distinct word n-grams of a text column, JVM-side: split → slide an
+    index window with transform — no UDF."""
+    toks = F.split(F.trim(col if not isinstance(col, str) else F.col(col)), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_gram: int = 3,
+    num_hashes: int = 16,
+    char_level: bool = False,
+) -> DataFrame:
+    """→ (doc_id, seed, mh): per-seed minimum of md5-hex over the doc's
+    shingles. Deterministic across runs/partitionings (pure hash of data);
+    the hex-prefix min trick is shared with operators/blocking.py."""
+    from character_identification_spark.operators.blocking import char_shingles
+
+    sh_expr = (
+        char_shingles(text_col, n_gram) if char_level else word_shingles(text_col, n_gram)
+    )
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    return (
+        docs.select(F.col(id_col), F.explode(sh_expr).alias("shingle"))
+        .select(id_col, "shingle", F.explode(seeds).alias("seed"))
+        .groupBy(id_col, "seed")
+        .agg(
+            F.min(
+                F.substring(F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))), 1, 15)
+            ).alias("mh")
+        )
+    )
+
+
+def minhash_buckets(
+    signatures: DataFrame, id_col: str = "doc_id", band_size: int = 2
+) -> DataFrame:
+    # default r=2: for 16 hashes -> 8 bands; band-hit prob at Jaccard 0.7
+    # is 1-(1-0.49)^8 ~ 0.995 (r=4 would miss ~1/3 of J=0.7 pairs)
+    """Signatures → (doc_id, bucket): one bucket key per band, the LSH
+    grouping near-duplicates collide into."""
+    banded = signatures.withColumn("band", (F.col("seed") / band_size).cast("int"))
+    return banded.groupBy(id_col, "band").agg(
+        F.concat(
+            F.col("band").cast("string"),
+            F.lit(":"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
+                ),
+                ",",
+            ),
+        ).alias("bucket")
+    )
+
+
+def minhash_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_gram: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.7,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """LSH candidates + exact shingle-Jaccard verify →
+    (id1, id2, jaccard, is_dup). The verify join carries each doc's distinct
+    shingle array once (computed in the same pass as the signature scan)."""
+    sigs = minhash_signatures(docs, id_col, text_col, n_gram, num_hashes)
+    buckets = minhash_buckets(sigs, id_col, band_size)
+    if max_bucket_size:
+        from character_identification_spark.operators.blocking import cap_block_sizes
+
+        buckets = cap_block_sizes(
+            buckets.withColumnRenamed("bucket", "block_key").withColumnRenamed(
+                id_col, "mention_uid"
+            ),
+            max_bucket_size,
+        ).withColumnRenamed("block_key", "bucket").withColumnRenamed(
+            "mention_uid", id_col
+        )
+    a = buckets.select(F.col("bucket"), F.col(id_col).alias("id1"))
+    b = buckets.select(F.col("bucket"), F.col(id_col).alias("id2"))
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, n_gram).alias("shingles")
+    )
+    verified = (
+        cand.join(sh.select(F.col(id_col).alias("id1"), F.col("shingles").alias("sh1")), "id1")
+        .join(sh.select(F.col(id_col).alias("id2"), F.col("shingles").alias("sh2")), "id2")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh1", "sh2"))
+            / F.size(F.array_union("sh1", "sh2")).cast("double"),
+        )
+        .drop("sh1", "sh2")
+    )
+    return verified.withColumn("is_dup", F.col("jaccard") >= jaccard_threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """→ (doc_id, simhash long): classic bit-vote SimHash over whitespace
+    tokens, each token hashed to a 60-bit md5-derived integer, weighted by
+    its occurrence count.
+
+    Fully relational (explode tokens → explode bit positions → two
+    aggregations) so the identical computation runs in the DuckDB oracle.
+    The 60×-token row blowup is the price of oracle parity; at corpus scale
+    swap in the numpy variant (same contract) behind a config flag —
+    semantics stay identical because both are pure functions of the text.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("w"))
+        .withColumn("th", h_long("tok"))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = (
+        toks.select(id_col, "th", "w", bit)
+        .withColumn(
+            # SQL form: python F.shiftright only takes a literal shift
+            "vote",
+            F.when(
+                F.expr("shiftright(th, bit) & 1") == 1, F.col("w")
+            ).otherwise(-F.col("w")),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """→ (id1, id2, hamming, is_dup). Pigeonhole LSH: split the simhash
+    into n_bands bit-bands; any pair within Hamming ≤ n_bands-1 agrees on
+    ≥1 band, so band-equality equi-joins find all such pairs without an n²
+    scan. Verify with bit_count(xor)."""
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    bands = hashes.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select("band", "key", F.col(id_col).alias("id1"), F.col("simhash").alias("h1"))
+    b = bands.select("band", "key", F.col(id_col).alias("id2"), F.col("simhash").alias("h2"))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"))
+        .distinct()
+        .withColumn("is_dup", F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding near-dup
+# --------------------------------------------------------------------------
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 0,
+) -> DataFrame:
+    """→ (id1, id2, cos_sim, is_dup): cosine near-duplicates.
+
+    n_planes=0 → exact all-pairs (test/oracle path; O(n²), only sane on
+    small inputs). n_planes>0 → sign-LSH bucketing first (scale path): only
+    pairs agreeing on every hyperplane sign are compared, planes drawn
+    deterministically from md5 (functions/similarity.py)."""
+    base = emb.select(F.col(id_col), F.col(vec_col))
+    if n_planes:
+        from character_identification_spark.operators.similarity import sign_lsh_bucket
+
+        base = base.withColumn("bucket", sign_lsh_bucket(vec_col, F.size(F.col(vec_col)), n_planes))
+        join_keys = ["bucket"]
+        a = base.select("bucket", F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+        b = base.select("bucket", F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    else:
+        join_keys = ["one"]
+        a = base.select(F.lit(1).alias("one"), F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+        b = base.select(F.lit(1).alias("one"), F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        a.join(b, join_keys)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cos_sim", cosine_sim("v1", "v2"))
+        .select("id1", "id2", "cos_sim")
+        .dropDuplicates(["id1", "id2"])
+        .withColumn("is_dup", F.col("cos_sim") >= threshold)
+    )
+
+
+def dedup_clusters(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Duplicate pairs → transitive dup groups via the same connected-
+    components core the ER pipeline uses → (doc_id, dup_group, keep)
+    where keep marks the minimum id of each group."""
+    from character_identification_spark.operators.cc import connected_components
+
+    edges = pairs.filter(F.col("is_dup")).select(
+        F.col("id1").alias("u"), F.col("id2").alias("v")
+    )
+    assign = connected_components(edges)
+    return (
+        docs.select(F.col(id_col))
+        .join(assign.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("dup_group", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("component")
+        .withColumn("keep", F.col(id_col) == F.col("dup_group"))
+    )

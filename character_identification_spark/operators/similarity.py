@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, per the training-data-pipeline brief:
+
+  cosine_topk      brute-force exact top-k — the correctness baseline.
+                   Queries are broadcast (small side); the big side streams,
+                   cosine runs JVM-side via zip_with/aggregate, top-k is a
+                   per-query window. No shuffle of the corpus beyond the
+                   final k rows per query.
+  sign_lsh_bucket / ann_topk
+                   sign-random-projection LSH: vectors agreeing on the sign
+                   of n_planes deterministic pseudo-random hyperplanes share
+                   a bucket; candidates come from bucket equality, then
+                   exact rerank. The scale path — bucket join replaces the
+                   full cross product.
+
+Hyperplanes are pure functions of (plane, dim) through md5 — no RNG state,
+identical across runs, partitionings, and engines (the DuckDB oracle can
+build the same planes), following the determinism rule SURVEY.md §7.3
+imposes on every pseudo-random feature (the reference's lazy np.random
+mutation, features.py:195-197, is the anti-pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from character_identification_spark.functions.vectors import cosine_sim
+
+
+def plane_component(plane, dim):
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    (md5_60bit(plane|dim) / 2^59) - 1. Same formula is expressible in
+    DuckDB SQL for oracle parity."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", plane.cast("string"), dim.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (h / F.lit(float(2**59))) - 1.0
+
+
+def sign_lsh_bucket(vec_col, dim_count, n_planes: int = 8):
+    """Bucket id = integer of sign bits of <v, plane_i>, planes indexed
+    0..n_planes-1, computed fully JVM-side (no UDF)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bits = []
+    for p in range(n_planes):
+        dp = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(
+                    F.sequence(F.lit(0), dim_count - 1),
+                    lambda d: plane_component(F.lit(p), d),
+                ),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dp >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """→ (query_id, neighbor_id, cos_sim, rank) exact brute force.
+
+    queries(query_id, embedding) is broadcast; ties broken by neighbor_id
+    for full determinism. Self-matches (same id) are excluded when ids
+    collide across the two sides."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine_sim("cv", "qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 6,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Approximate top-k: n_tables independent sign-LSH bucketings (plane
+    indices offset per table); candidates = bucket collisions in any table;
+    exact cosine rerank. Recall rises with n_tables, candidate count falls
+    with n_planes — the standard multi-table LSH trade."""
+    dimc = F.size(F.col(vec_col))
+
+    def _table_bucket(t):
+        # planes t*n_planes .. t*n_planes+n_planes-1
+        v = F.col(vec_col)
+        bits = []
+        for p in range(n_planes):
+            dp = F.aggregate(
+                F.zip_with(
+                    v,
+                    F.transform(
+                        F.sequence(F.lit(0), dimc - 1),
+                        lambda d: plane_component(F.lit(t * n_planes + p), d),
+                    ),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dp >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return F.concat(F.lit(f"t{t}:"), out.cast("string"))
+
+    def bucketed(df, idc):
+        u = None
+        for t in range(n_tables):
+            b = df.select(F.col(idc), F.col(vec_col), _table_bucket(t).alias("bucket"))
+            u = b if u is None else u.unionByName(b)
+        return u
+
+    qb = bucketed(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col)), "query_id"
+    ).select("query_id", F.col(vec_col).alias("qv"), "bucket")
+    cb = bucketed(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)), "neighbor_id"
+    ).select("neighbor_id", F.col(vec_col).alias("cv"), "bucket")
+    cand = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cos_sim", cosine_sim("cv", "qv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

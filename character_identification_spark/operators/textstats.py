@@ -1,0 +1,123 @@
+"""Text analysis for training-data curation: token counts, quality
+scores, language ID, document fingerprints.
+
+All JVM-side (built-in functions only — whole-stage codegen, no UDF), all
+pure functions of the text so every value is reproducible in the DuckDB
+oracle. These are the curation filters a 100 TB pretraining pipeline runs
+before dedup: cheap narrow projections that Catalyst fuses into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword inventories for the n-gram/stopword-ratio
+# language heuristic. Deliberately small and inline: broadcast-free (they
+# compile into the plan as literals) and easy to mirror in oracle SQL.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "auf", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "que", "por"],
+}
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization of trimmed text (empty text → [''])."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col) -> Column:
+    """Subword-ish token count without a tokenizer model: count of
+    alternating letter-runs / digit-runs / punctuation marks. A cheap,
+    deterministic proxy for BPE token counts (ratio ~1.3× words on web
+    text) — good enough for budget accounting in a curation pipeline."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_replace(
+        F.lower(c), r"([a-z]+|[0-9]+|[^a-z0-9\s])", "$1 "
+    )
+    return F.size(F.split(F.trim(pieces), r"\s+"))
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """→ (doc_id, n_chars, n_tokens, avg_token_len, punct_ratio,
+    digit_ratio, uniq_token_ratio, stopword_ratio, quality): the standard
+    quality-filter feature block (Gopher/C4-style heuristics)."""
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tokens.cast("double")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    sw_ratio = F.size(F.filter(toks, lambda x: F.array_contains(sw, F.lower(x)))) / n_tokens.cast(
+        "double"
+    )
+    avg_tok = (n_chars - (n_tokens - 1)) / n_tokens.cast("double")
+    stats = docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(n_punct / n_chars.cast("double"), 6).alias("punct_ratio"),
+        F.round(n_digit / n_chars.cast("double"), 6).alias("digit_ratio"),
+        F.round(uniq_ratio, 6).alias("uniq_token_ratio"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+    )
+    # blended quality in [0,1]: length band + low punct/digit + lexical
+    # diversity + some stopword mass (C4-ish), each term clamped
+    q = (
+        0.25 * F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
+        + 0.25 * (1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0)))
+        + 0.2 * (1.0 - F.least(F.col("digit_ratio") * 4.0, F.lit(1.0)))
+        + 0.15 * F.col("uniq_token_ratio")
+        + 0.15 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+    )
+    return stats.withColumn("quality", F.round(q, 6))
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """→ (doc_id, lang_pred, lang_score): argmax over per-language
+    stopword-hit ratios; 'und' (undetermined) when nothing scores > 0.
+    Ties break by language code order, deterministically."""
+    toks = F.transform(tokens(text_col), lambda x: F.lower(x))
+    scores = []
+    for lang in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        s = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))) / F.size(toks).cast(
+            "double"
+        )
+        scores.append(F.struct(F.round(s, 6).alias("score"), F.lit(lang).alias("lang")))
+    arr = F.array(*scores)
+    best = F.array_max(arr)
+    return docs.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["score"].alias("lang_score"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """→ (doc_id, fp_exact, fp_norm, fp_shingle): three content
+    fingerprints — raw-byte md5, normalized-text md5 (case/whitespace/
+    punct-insensitive), and min-shingle digest (robust to local edits:
+    equal for docs sharing their lexicographically-smallest word 5-gram,
+    a 1-hash MinHash)."""
+    t = F.col(text_col)
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(t), r"[^a-z0-9]+", " "), r"\s+", " "))
+    from character_identification_spark.operators.dedup import word_shingles
+
+    min_shingle = F.array_min(word_shingles(norm, 5))
+    return docs.select(
+        F.col(id_col),
+        F.md5(t).alias("fp_exact"),
+        F.md5(norm).alias("fp_norm"),
+        F.md5(min_shingle).alias("fp_shingle"),
+    )

@@ -1,0 +1,117 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, embedding."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from character_identification_spark.operators.dedup import (
+    dedup_clusters,
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_dup_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_dup_pairs,
+    word_shingles,
+)
+
+DOC = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun"
+)
+DOC_EDIT = DOC.replace("lazy dog", "lazy hound")  # near-dup: 1 word changed
+DOC_OTHER = (
+    "completely different content about spark dataframes shuffles and "
+    "catalyst optimizer internals nothing shared with animals at all"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(0, DOC), (1, DOC), (2, DOC_EDIT), (3, DOC_OTHER)],
+        "doc_id long, text string",
+    ).cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["doc_id"]: r for r in exact_dedup(docs).collect()}
+    assert out[0]["canonical_id"] == 0 and not out[0]["is_duplicate"]
+    assert out[1]["canonical_id"] == 0 and out[1]["is_duplicate"]
+    assert out[2]["canonical_id"] == 2 and not out[2]["is_duplicate"]
+    assert out[0]["group_size"] == 2 and out[3]["group_size"] == 1
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    (row,) = df.select(word_shingles("text", 3).alias("s")).collect()
+    assert row["s"] == ["a b c", "b c d"]
+
+
+def test_minhash_dup_pairs(spark, docs):
+    pairs = {
+        (r["id1"], r["id2"]): r
+        for r in minhash_dup_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)]["jaccard"] == 1.0 and pairs[(0, 1)]["is_dup"]
+    assert (0, 2) in pairs and pairs[(0, 2)]["is_dup"]  # near-dup caught
+    assert all(not v["is_dup"] for k, v in pairs.items() if 3 in k)
+
+
+def test_minhash_signatures_deterministic(spark, docs):
+    a = sorted(map(tuple, minhash_signatures(docs).collect()))
+    b = sorted(map(tuple, minhash_signatures(docs.repartition(7)).collect()))
+    assert a == b
+
+
+def test_simhash_properties(spark, docs):
+    h = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert h[0] == h[1]  # identical text → identical hash
+    assert all(v >= 0 for v in h.values())
+    ham_edit = bin(h[0] ^ h[2]).count("1")
+    ham_other = bin(h[0] ^ h[3]).count("1")
+    assert ham_edit < ham_other  # near-dup closer than unrelated
+
+
+def test_simhash_dup_pairs(spark, docs):
+    hashes = simhash(docs)
+    h = {r["doc_id"]: r["simhash"] for r in hashes.collect()}
+    pairs = simhash_dup_pairs(hashes, max_hamming=8, n_bands=4)
+    got = {(r["id1"], r["id2"]): r for r in pairs.collect()}
+    assert (0, 1) in got and got[(0, 1)]["hamming"] == 0 and got[(0, 1)]["is_dup"]
+    # hamming values are true XOR popcounts
+    for (i, j), r in got.items():
+        assert r["hamming"] == bin(h[i] ^ h[j]).count("1")
+    # pigeonhole guarantee: every pair with hamming <= n_bands-1 is found
+    ids = sorted(h)
+    for i in ids:
+        for j in ids:
+            if i < j and bin(h[i] ^ h[j]).count("1") <= 3:
+                assert (i, j) in got
+
+
+def test_embedding_dup_pairs_exact(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r["id1"], r["id2"]): r for r in embedding_dup_pairs(emb, threshold=0.99).collect()}
+    assert got[(0, 1)]["is_dup"]
+    assert not got[(0, 2)]["is_dup"]
+
+
+def test_dedup_clusters_transitive(spark, docs):
+    pairs = spark.createDataFrame(
+        [(0, 1, True), (1, 2, True), (2, 3, False)],
+        "id1 long, id2 long, is_dup boolean",
+    )
+    out = {r["doc_id"]: (r["dup_group"], r["keep"]) for r in dedup_clusters(pairs, docs).collect()}
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)
+    assert out[2] == (0, False)  # transitive through 1
+    assert out[3] == (3, True)

@@ -1,0 +1,67 @@
+"""Text-analysis operators: stats, quality, language ID, fingerprints."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from character_identification_spark.operators.textstats import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    text_stats,
+    token_count,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("one two  three",), ("single",)], "text string"
+    )
+    out = [r["n"] for r in df.select(token_count("text").alias("n")).collect()]
+    assert out == [3, 1]
+    out2 = [r["n"] for r in df.select(bpe_ish_token_count("text").alias("n")).collect()]
+    assert out2 == [3, 1]
+
+
+def test_bpe_ish_splits_mixed_runs(spark):
+    df = spark.createDataFrame([("abc123, def!",)], "text string")
+    (row,) = df.select(bpe_ish_token_count("text").alias("n")).collect()
+    # abc | 123 | , | def | ! → 5 pieces
+    assert row["n"] == 5
+
+
+def test_text_stats_values(spark):
+    df = spark.createDataFrame([(1, "the cat sat on the mat")], "doc_id long, text string")
+    (row,) = text_stats(df).collect()
+    assert row["n_chars"] == 22
+    assert row["n_tokens"] == 6
+    assert row["punct_ratio"] == 0.0
+    assert row["uniq_token_ratio"] == pytest.approx(5 / 6, abs=1e-6)
+    # 'the' twice, 'on' not a stopword in our list → 2/6
+    assert row["stopword_ratio"] == pytest.approx(2 / 6, abs=1e-6)
+    assert 0.0 <= row["quality"] <= 1.0
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "der hund ist nicht auf der wiese und das ist gut"),
+            (3, "le chat est dans la maison et il est content"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_fingerprints(spark):
+    a = "The quick brown fox jumps over the lazy dog today"
+    b = "the  QUICK brown fox, jumps over the lazy dog today"  # case/punct
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fingerprint(df).collect()}
+    assert out[1]["fp_exact"] != out[2]["fp_exact"]
+    assert out[1]["fp_norm"] == out[2]["fp_norm"]
+    assert out[1]["fp_shingle"] == out[2]["fp_shingle"]
