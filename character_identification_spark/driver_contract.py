@@ -1,0 +1,509 @@
+"""Driver contract: per-operator Spark queries + DuckDB oracle SQL.
+
+Each entry demonstrates one operator family from SURVEY.md §2 over the
+driver's testdata tables (``part customer orders lineitem events documents
+embeddings``). The Spark callable and the DuckDB SQL string compute the
+SAME values — possible because every pseudo-random primitive in the engine
+is an md5-derived pure function (functions/hashing.py) that both engines
+expose identically, and my Jaro-Winkler pandas UDF is bit-compatible with
+DuckDB's ``jaro_winkler_similarity`` (functions/strings.py).
+
+Float discipline: any column whose low bits could differ across engines
+(UDF arithmetic, parallel-agg summation order) is rounded to 6 dp on BOTH
+sides; int/int divisions and md5 hashes are left raw (exactly equal).
+
+ER queries synthesize a deterministic mention corpus from ``part.p_name``
+(three alias variants per part: full, first-token+initial, transposition
+typo) — the same alias families the pages fixture uses
+(fixtures/pages_gen.py), but derivable in pure SQL so DuckDB can replay
+every pipeline stage value-for-value. The realistic end-to-end corpus with
+the pairwise-F1 ≥ 0.99 gate lives in tests/ (test_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from character_identification_spark.functions.strings import norm_text
+from character_identification_spark.operators.asof import asof_join, last_prior_event
+from character_identification_spark.operators.blocking import (
+    cap_block_sizes,
+    minhash_lsh_blocks,
+    sortkey_blocks,
+)
+from character_identification_spark.operators.canonicalize import (
+    canonical_entities,
+    pooled_cluster_embeddings,
+)
+from character_identification_spark.operators.cc import (
+    attach_singletons,
+    connected_components,
+)
+from character_identification_spark.operators.dedup import (
+    dedup_clusters,
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_dup_pairs,
+    simhash,
+    simhash_dup_pairs,
+)
+from character_identification_spark.operators.multimodal import (
+    extract_media_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+from character_identification_spark.operators.pairs import generate_pairs
+from character_identification_spark.operators.scoring import score_pairs
+from character_identification_spark.operators.similarity import ann_topk, cosine_topk
+from character_identification_spark.operators.textstats import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    text_stats,
+    token_count,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# ER pipeline over part-derived mentions (SURVEY §2: S5/F6, J1, M3/C1-C4,
+# T1/T2 via CC, M4/A2/A3)
+# ===========================================================================
+
+ER_CAP = 40  # small cap so cap_block_sizes' salting path is exercised
+
+
+def _er_mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mention corpus: 3 alias variants per part name
+    (full / first-token+initial / transposed-typo second token)."""
+    part = _t(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    t1, t2 = toks.getItem(0), toks.getItem(1)
+    variants = F.array(
+        F.struct(F.lit(1).alias("variant"), F.col("p_name").alias("surface")),
+        F.struct(
+            F.lit(2).alias("variant"),
+            F.concat(t1, F.lit(" "), F.substring(t2, 1, 1)).alias("surface"),
+        ),
+        F.struct(
+            F.lit(3).alias("variant"),
+            F.concat(
+                t1,
+                F.lit(" "),
+                t2.substr(2, 1),
+                t2.substr(1, 1),
+                F.expr("substring(split(p_name, ' ')[1], 3)"),
+            ).alias("surface"),
+        ),
+    )
+    return part.select("p_partkey", F.explode(variants).alias("v")).select(
+        (F.col("p_partkey") * 4 + F.col("v.variant")).cast("long").alias("mention_uid"),
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.col("v.variant").alias("variant"),
+        F.col("v.surface").alias("surface"),
+        norm_text(F.col("v.surface")).alias("norm"),
+    )
+
+
+def _er_blocks_df(m: DataFrame) -> DataFrame:
+    """prefix + init_last + MinHash-LSH families, union'd, capped.
+    (soundex is excluded here only because DuckDB lacks soundex() for the
+    oracle; the pipeline default keeps it — see plans/pipeline.py.)"""
+    fam = (
+        sortkey_blocks(m, prefix_len=4, families=("prefix", "init_last"))
+        .unionByName(minhash_lsh_blocks(m, n_gram=3, num_hashes=8, band_size=2))
+        .dropDuplicates(["mention_uid", "block_key"])
+    )
+    return cap_block_sizes(fam, ER_CAP)
+
+
+def q_er_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _er_mentions_df(spark, sf_dir)
+
+
+def q_er_blocking_sortkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _er_mentions_df(spark, sf_dir)
+    fam = sortkey_blocks(m, prefix_len=4, families=("prefix", "init_last")).dropDuplicates(
+        ["mention_uid", "block_key"]
+    )
+    return cap_block_sizes(fam, ER_CAP)
+
+
+def q_er_blocking_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _er_mentions_df(spark, sf_dir)
+    return minhash_lsh_blocks(m, n_gram=3, num_hashes=8, band_size=2)
+
+
+def _er_pairs_df(spark: SparkSession, sf_dir: str):
+    m = _er_mentions_df(spark, sf_dir)
+    return m, generate_pairs(m, _er_blocks_df(m), payload_cols=("norm", "surface"))
+
+
+def q_er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, pairs = _er_pairs_df(spark, sf_dir)
+    return pairs
+
+
+def _er_scored_df(spark: SparkSession, sf_dir: str):
+    m, pairs = _er_pairs_df(spark, sf_dir)
+    return m, score_pairs(pairs, threshold=0.82)
+
+
+def q_er_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, scored = _er_scored_df(spark, sf_dir)
+    return scored.select(
+        "uid1",
+        "uid2",
+        "block_key",
+        F.round("jw", 6).alias("jw"),
+        F.round("lev_ratio", 6).alias("lev_ratio"),
+        F.round("tok_jaccard", 6).alias("tok_jaccard"),
+        "tok_contained",
+        "initial_alias",
+        F.round("score", 6).alias("score"),
+        "is_match",
+    )
+
+
+def _er_assign_df(spark: SparkSession, sf_dir: str):
+    m, scored = _er_scored_df(spark, sf_dir)
+    edges = scored.filter(F.col("is_match")).select(
+        F.col("uid1").alias("u"), F.col("uid2").alias("v")
+    )
+    return m, attach_singletons(m, connected_components(edges))
+
+
+def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, assign = _er_assign_df(spark, sf_dir)
+    return assign.select("mention_uid", "cluster_id")
+
+
+def q_er_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, assign = _er_assign_df(spark, sf_dir)
+    clustered = assign.select(
+        "cluster_id", "norm", "surface", F.col("p_partkey").cast("string").alias("url")
+    )
+    return canonical_entities(clustered)
+
+
+# ===========================================================================
+# Dedup family over documents (augmented with deterministic near/exact dups)
+# ===========================================================================
+
+
+def _docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ tail-truncated copies (+100000: near-dups) ∪ verbatim
+    copies (+200000: exact dups) — dup structure by construction, derived
+    identically in the DuckDB oracle."""
+    base = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    trunc = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") + 100000).cast("long").alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1))), " "
+        ).alias("text"),
+    )
+    copy = base.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    return base.unionByName(trunc).unionByName(copy)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs_aug(spark, sf_dir))
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_dup_pairs(
+        _docs_aug(spark, sf_dir),
+        n_gram=3,
+        num_hashes=16,
+        band_size=2,
+        jaccard_threshold=0.7,
+        max_bucket_size=1000,
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs_aug(spark, sf_dir))
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_dup_pairs(simhash(_docs_aug(spark, sf_dir)), max_hamming=3, n_bands=4)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_aug(spark, sf_dir)
+    pairs = minhash_dup_pairs(
+        docs, n_gram=3, num_hashes=16, band_size=2, jaccard_threshold=0.7,
+        max_bucket_size=1000,
+    )
+    return dedup_clusters(pairs, docs)
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        F.col("label"),
+    )
+
+
+def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
+    # scaled copies: cos(v, 0.5v) == 1.0 exactly (power-of-two scale)
+    aug = e.unionByName(
+        e.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 0.5).alias("embedding"),
+        )
+    )
+    pairs = embedding_dup_pairs(aug, id_col="vec_id", vec_col="embedding", threshold=0.95)
+    return pairs.filter(F.col("cos_sim") >= 0.4).select(
+        "id1", "id2", F.round("cos_sim", 6).alias("cos_sim"), "is_dup"
+    )
+
+
+# ===========================================================================
+# Text analysis over documents
+# ===========================================================================
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe"),
+    )
+
+
+# ===========================================================================
+# Similarity search over embeddings
+# ===========================================================================
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = cosine_topk(e, queries, k=10, id_col="vec_id", vec_col="embedding")
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = ann_topk(e, queries, k=10, n_planes=6, n_tables=2)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+# ===========================================================================
+# As-of / window / streaming-analog queries over events
+# ===========================================================================
+
+
+def q_asof_prev_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return last_prior_event(
+        _t(spark, sf_dir, "events"), key="user_id", ts="ts",
+        kind_col="event_type", kind="click", value_col="value",
+    )
+
+
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase")
+    right = ev.filter(F.col("event_type") == "click")
+    return asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=("value",), strict=True,
+    )
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming windowed aggregation
+    (streaming/incremental.py): tumbling 1-hour event-time windows."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_events_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor linking (SURVEY §2 S7): prev/next event per user via
+    lag/lead — the reference's doubly-linked lists as window functions."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+# ===========================================================================
+# Relational coverage (scan/filter/join/agg/window/anti-join) over TPC-H-ish
+# ===========================================================================
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(
+                F.sum(dec2("l_quantity")).cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(dec2("l_extendedprice")).cast("double") / F.count("*"), 6
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_order_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension joins (SURVEY §2 J4): fact × two broadcast dims."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = F.broadcast(_t(spark, sf_dir, "customer"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .select("o_orderkey", "o_totalprice", "c_name", "n_name")
+    )
+
+
+def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group window (SURVEY §2 W5) generalized to top-3."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join singleton fill (SURVEY §2 J7/E2): customers with no
+    pending ('P') order — the filter keeps the anti side non-empty."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ===========================================================================
+# Multimodal plumbing + cluster embedding pooling
+# ===========================================================================
+
+
+def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample_plan(synthetic_media(spark, n=24), every_n=10)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_media_features(synthetic_media(spark, n=24), decoder="fake")
+
+
+def q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clustered = _emb_double(spark, sf_dir).select(
+        F.col("label").cast("long").alias("cluster_id"), "embedding"
+    )
+    pooled = pooled_cluster_embeddings(clustered, emb_col="embedding")
+    return pooled.select(
+        "cluster_id",
+        F.transform("emb_mean", lambda x: F.round(x, 6)).alias("emb_mean"),
+        F.transform("emb_max", lambda x: F.round(x, 6)).alias("emb_max"),
+    )
+
+
+QUERIES = {
+    "er_mentions": q_er_mentions,
+    "er_blocking_sortkey": q_er_blocking_sortkey,
+    "er_blocking_minhash": q_er_blocking_minhash,
+    "er_candidate_pairs": q_er_candidate_pairs,
+    "er_scored_pairs": q_er_scored_pairs,
+    "er_clusters": q_er_clusters,
+    "er_entities": q_er_entities,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_embedding_pairs": q_dedup_embedding_pairs,
+    "text_stats": q_text_stats,
+    "text_language_id": q_text_language_id,
+    "text_fingerprint": q_text_fingerprint,
+    "text_token_counts": q_text_token_counts,
+    "similarity_topk": q_similarity_topk,
+    "similarity_ann": q_similarity_ann,
+    "asof_prev_event": q_asof_prev_event,
+    "asof_join_events": q_asof_join_events,
+    "events_tumbling": q_events_tumbling,
+    "events_neighbors": q_events_neighbors,
+    "tpch_q1": q_tpch_q1,
+    "order_enrich_broadcast": q_order_enrich_broadcast,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    "cust_no_orders": q_cust_no_orders,
+    "media_frame_plan": q_media_frame_plan,
+    "media_features": q_media_features,
+    "cluster_embeddings": q_cluster_embeddings,
+}

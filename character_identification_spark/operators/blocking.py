@@ -31,31 +31,51 @@ from pyspark.sql import functions as F
 from character_identification_spark.functions.hashing import h_long
 
 
-def sortkey_blocks(mentions: DataFrame, prefix_len: int = 4) -> DataFrame:
+def sortkey_blocks(
+    mentions: DataFrame,
+    prefix_len: int = 4,
+    families: tuple[str, ...] = ("prefix", "soundex", "init_last"),
+) -> DataFrame:
     """(mention_uid, norm) → (mention_uid, block_key) for prefix + phonetic
-    keys. Two cheap families catch typo'd tails and spelling variants."""
-    prefix = mentions.select(
-        "mention_uid",
-        F.concat(F.lit("sk:"), F.substring("norm", 1, prefix_len)).alias("block_key"),
-    )
-    phonetic = mentions.select(
-        "mention_uid",
-        F.concat(F.lit("sx:"), F.soundex(F.split("norm", " ").getItem(0))).alias("block_key"),
-    )
+    keys. Cheap families catch typo'd tails and spelling variants;
+    ``families`` selects which key families to emit."""
+    parts = []
+    if "prefix" in families:
+        parts.append(
+            mentions.select(
+                "mention_uid",
+                F.concat(F.lit("sk:"), F.substring("norm", 1, prefix_len)).alias("block_key"),
+            )
+        )
+    if "soundex" in families:
+        parts.append(
+            mentions.select(
+                "mention_uid",
+                F.concat(
+                    F.lit("sx:"), F.soundex(F.split("norm", " ").getItem(0))
+                ).alias("block_key"),
+            )
+        )
     # initial + last token ("r geller" ∧ "ross geller" → "il:r:geller"):
     # the deterministic bridge for initialed aliases, which MinHash only
     # catches probabilistically (J≈0.5 → a band hit ~80% of the time)
-    toks = F.split("norm", " ")
-    init_last = mentions.select(
-        "mention_uid",
-        F.concat(
-            F.lit("il:"),
-            F.substring(F.element_at(toks, 1), 1, 1),
-            F.lit(":"),
-            F.element_at(toks, -1),
-        ).alias("block_key"),
-    ).filter(F.size(toks) >= 2)
-    return prefix.unionByName(phonetic).unionByName(init_last)
+    if "init_last" in families:
+        toks = F.split("norm", " ")
+        parts.append(
+            mentions.select(
+                "mention_uid",
+                F.concat(
+                    F.lit("il:"),
+                    F.substring(F.element_at(toks, 1), 1, 1),
+                    F.lit(":"),
+                    F.element_at(toks, -1),
+                ).alias("block_key"),
+            ).filter(F.size(toks) >= 2)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def char_shingles(col, n: int = 3):

@@ -39,9 +39,11 @@ def generate_pairs(
         *[F.col(c).alias(f"{c}_2") for c in payload_cols],
     )
     pairs = a.join(b, ["block_key"]).filter(F.col("uid1") < F.col("uid2"))
-    # a pair found via several blocks collapses to one row, min block_key
+    # a pair found via several blocks collapses to one row, min block_key;
+    # payload columns are identical across a pair's rows, so min() (not
+    # first(), which is order-dependent) keeps the output deterministic
     keep = [c for c in pairs.columns if c not in ("block_key", "uid1", "uid2")]
     return pairs.groupBy("uid1", "uid2").agg(
         F.min("block_key").alias("block_key"),
-        *[F.first(c).alias(c) for c in keep],
+        *[F.min(c).alias(c) for c in keep],
     )

@@ -1,0 +1,714 @@
+r"""DuckDB oracle SQL mirroring every query in driver_contract.QUERIES.
+
+Each SQL string recomputes the Spark query's values independently in
+DuckDB over the same parquet views. Parity rules (see driver_contract
+docstring): md5-derived hashes are identical by construction; int/int
+double divisions are bit-identical; anything UDF- or agg-order-dependent
+is rounded to 6 dp on both sides; count-ish columns are cast so DuckDB's
+BIGINT/HUGEINT defaults match Spark's INT/LONG output types.
+
+Queries with no entry here (similarity_ann, media_features) get the
+driver's weaker rows-only check: ann recall is approximate by design and
+the media features replicate numpy byte-twiddling DuckDB can't express.
+"""
+
+from __future__ import annotations
+
+# --------------------------------------------------------------------------
+# ER fragments (mentions derived from part.p_name — see driver_contract)
+# --------------------------------------------------------------------------
+
+_ER_M = r"""
+m AS (
+  SELECT CAST(p_partkey * 4 + v AS BIGINT) AS mention_uid,
+         CAST(p_partkey AS BIGINT) AS p_partkey,
+         v AS variant,
+         surface,
+         trim(regexp_replace(regexp_replace(lower(surface), '[^a-z0-9]+', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS norm
+  FROM (
+    SELECT p_partkey, 1 AS v, p_name AS surface FROM part
+    UNION ALL
+    SELECT p_partkey, 2 AS v,
+           string_split(p_name, ' ')[1] || ' ' ||
+           substr(string_split(p_name, ' ')[2], 1, 1) AS surface
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 3 AS v,
+           string_split(p_name, ' ')[1] || ' ' ||
+           substr(string_split(p_name, ' ')[2], 2, 1) ||
+           substr(string_split(p_name, ' ')[2], 1, 1) ||
+           substr(string_split(p_name, ' ')[2], 3) AS surface
+    FROM part
+  )
+)
+"""
+
+# capped prefix + init_last sort-key families (cap = 40, mirrors ER_CAP)
+_ER_SORTKEY = r"""
+sk_fam AS (
+  SELECT DISTINCT mention_uid, block_key FROM (
+    SELECT mention_uid, 'sk:' || substr(norm, 1, 4) AS block_key FROM m
+    UNION ALL
+    SELECT mention_uid,
+           'il:' || substr(string_split(norm, ' ')[1], 1, 1) || ':' ||
+           string_split(norm, ' ')[-1] AS block_key
+    FROM m WHERE len(string_split(norm, ' ')) >= 2
+  )
+)
+"""
+
+_ER_MINHASH = r"""
+mh_fam AS (
+  SELECT mention_uid,
+         'mh:' || CAST(band AS VARCHAR) || ':' || band_sig AS block_key
+  FROM (
+    SELECT mention_uid, seed // 2 AS band,
+           string_agg(mh, ',' ORDER BY seed) AS band_sig
+    FROM (
+      SELECT mention_uid, seed,
+             min(substr(md5(CAST(seed AS VARCHAR) || '|' || shingle), 1, 15)) AS mh
+      FROM (
+        SELECT mention_uid,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(norm) - 2, 1)),
+                 i -> substr(norm, i, 3)))) AS shingle
+        FROM m
+      )
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+      GROUP BY mention_uid, seed
+    )
+    GROUP BY mention_uid, seed // 2
+  )
+)
+"""
+
+
+def _capped(src: str, out: str, cap: int = 40) -> str:
+    """Mirror of operators/blocking.cap_block_sizes."""
+    return f"""
+{out} AS (
+  SELECT mention_uid,
+         CASE WHEN bsz <= {cap} THEN block_key
+              ELSE block_key || '#' ||
+                   CAST((rn - 1) % CAST(ceil(bsz / {cap}.0) AS BIGINT) AS VARCHAR)
+         END AS block_key
+  FROM (
+    SELECT mention_uid, block_key,
+           row_number() OVER (PARTITION BY block_key ORDER BY mention_uid) AS rn,
+           count(*) OVER (PARTITION BY block_key) AS bsz
+    FROM {src}
+  )
+)
+"""
+
+
+_ER_BLOCKS = (
+    _ER_SORTKEY
+    + ","
+    + _ER_MINHASH
+    + r""",
+all_fam AS (
+  SELECT DISTINCT mention_uid, block_key FROM (
+    SELECT * FROM sk_fam UNION ALL SELECT * FROM mh_fam
+  )
+)
+,"""
+    + _capped("all_fam", "blocks")
+)
+
+_ER_PAIRS = r"""
+keyed AS (
+  SELECT b.block_key, b.mention_uid, m.norm, m.surface
+  FROM blocks b JOIN m USING (mention_uid)
+),
+pairs AS (
+  SELECT uid1, uid2,
+         min(block_key) AS block_key,
+         min(norm_1) AS norm_1, min(norm_2) AS norm_2,
+         min(surface_1) AS surface_1, min(surface_2) AS surface_2
+  FROM (
+    SELECT a.mention_uid AS uid1, b.mention_uid AS uid2, a.block_key,
+           a.norm AS norm_1, a.surface AS surface_1,
+           b.norm AS norm_2, b.surface AS surface_2
+    FROM keyed a JOIN keyed b
+      ON a.block_key = b.block_key AND a.mention_uid < b.mention_uid
+  )
+  GROUP BY uid1, uid2
+)
+"""
+
+# mirrors operators/scoring.score_pairs (threshold 0.82), same expression
+# order so double arithmetic is bit-identical
+_ER_SCORED = r"""
+feat AS (
+  SELECT uid1, uid2, block_key,
+         jaro_winkler_similarity(norm_1, norm_2) AS jw,
+         1.0 - levenshtein(norm_1, norm_2) / greatest(len(norm_1), len(norm_2)) AS lev_ratio,
+         len(list_distinct(list_intersect(t1, t2))) /
+           CAST(len(list_distinct(list_concat(t1, t2))) AS DOUBLE) AS tok_jaccard,
+         (len(list_filter(t1, x -> NOT list_contains(t2, x))) = 0
+          OR len(list_filter(t2, x -> NOT list_contains(t1, x))) = 0) AS tok_contained,
+         (len(t1) = len(t2) AND len(t1) >= 2 AND t1[2:] = t2[2:]
+          AND (starts_with(t1[1], t2[1]) OR starts_with(t2[1], t1[1]))) AS initial_alias
+  FROM (SELECT *, string_split(norm_1, ' ') AS t1, string_split(norm_2, ' ') AS t2
+        FROM pairs)
+),
+scored AS (
+  SELECT *,
+         0.5 * jw + 0.3 * lev_ratio + 0.2 * tok_jaccard
+           + CASE WHEN tok_contained THEN 0.12 ELSE 0.0 END AS score
+  FROM feat
+),
+decided AS (
+  SELECT *,
+         (jw >= 0.90 OR lev_ratio >= 0.85 OR (tok_contained AND jw >= 0.65)
+          OR initial_alias OR score >= 0.82) AS is_match
+  FROM scored
+)
+"""
+
+
+def _closure(edges_cte: str) -> str:
+    """Recursive min-label transitive closure (oracle twin of the
+    large-star/small-star CC in operators/cc.py)."""
+    return f"""
+sym AS (
+  SELECT u, v FROM {edges_cte}
+  UNION
+  SELECT v AS u, u AS v FROM {edges_cte}
+),
+reach AS (
+  SELECT u AS a, v AS b FROM sym
+  UNION
+  SELECT r.a, s.v AS b FROM reach r JOIN sym s ON r.b = s.u WHERE s.v <> r.a
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
+"""
+
+
+_ER_ASSIGN = (
+    r"""
+edges AS (SELECT uid1 AS u, uid2 AS v FROM decided WHERE is_match),
+"""
+    + _closure("edges")
+    + r""",
+assigned AS (
+  SELECT m.mention_uid, coalesce(c.component, m.mention_uid) AS cluster_id
+  FROM m LEFT JOIN comp c ON m.mention_uid = c.node
+)
+"""
+)
+
+_ER_FULL_PREFIX = (
+    "WITH RECURSIVE "
+    + _ER_M
+    + ","
+    + _ER_BLOCKS
+    + ","
+    + _ER_PAIRS
+    + ","
+    + _ER_SCORED
+    + ","
+    + _ER_ASSIGN
+)
+
+SQL_ER_MENTIONS = "WITH " + _ER_M + "\nSELECT * FROM m"
+
+SQL_ER_BLOCKING_SORTKEY = (
+    "WITH "
+    + _ER_M
+    + ","
+    + _ER_SORTKEY
+    + ","
+    + _capped("sk_fam", "capped")
+    + "\nSELECT mention_uid, block_key FROM capped"
+)
+
+SQL_ER_BLOCKING_MINHASH = (
+    "WITH " + _ER_M + "," + _ER_MINHASH + "\nSELECT mention_uid, block_key FROM mh_fam"
+)
+
+SQL_ER_CANDIDATE_PAIRS = (
+    "WITH " + _ER_M + "," + _ER_BLOCKS + "," + _ER_PAIRS + "\nSELECT * FROM pairs"
+)
+
+SQL_ER_SCORED_PAIRS = (
+    "WITH "
+    + _ER_M
+    + ","
+    + _ER_BLOCKS
+    + ","
+    + _ER_PAIRS
+    + ","
+    + _ER_SCORED
+    + r"""
+SELECT uid1, uid2, block_key,
+       round(jw, 6) AS jw, round(lev_ratio, 6) AS lev_ratio,
+       round(tok_jaccard, 6) AS tok_jaccard, tok_contained, initial_alias,
+       round(score, 6) AS score, is_match
+FROM decided
+"""
+)
+
+SQL_ER_CLUSTERS = _ER_FULL_PREFIX + "\nSELECT mention_uid, cluster_id FROM assigned"
+
+SQL_ER_ENTITIES = (
+    _ER_FULL_PREFIX
+    + r""",
+clustered AS (
+  SELECT a.cluster_id, m.norm, CAST(m.p_partkey AS VARCHAR) AS url
+  FROM assigned a JOIN m USING (mention_uid)
+),
+by_name AS (
+  SELECT cluster_id, norm, count(*) AS cnt FROM clustered GROUP BY cluster_id, norm
+),
+canon AS (
+  SELECT cluster_id, norm AS canonical FROM (
+    SELECT cluster_id, norm,
+           row_number() OVER (PARTITION BY cluster_id ORDER BY cnt DESC, norm ASC) AS rk
+    FROM by_name
+  ) WHERE rk = 1
+),
+stats AS (
+  SELECT cluster_id, count(*) AS n_mentions, count(DISTINCT norm) AS n_aliases,
+         list_sort(list_distinct(list(norm))) AS aliases,
+         count(DISTINCT url) AS n_pages
+  FROM clustered GROUP BY cluster_id
+)
+SELECT s.cluster_id, s.n_mentions, s.n_aliases, s.aliases, s.n_pages, c.canonical
+FROM stats s JOIN canon c USING (cluster_id)
+"""
+)
+
+# --------------------------------------------------------------------------
+# Dedup fragments over augmented documents
+# --------------------------------------------------------------------------
+
+_DOCS = r"""
+docs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 100000 AS BIGINT) AS doc_id,
+         array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1,
+           greatest(len(regexp_split_to_array(trim(text), '\s+')) - 3, 1)), ' ') AS text
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 200000 AS BIGINT) AS doc_id, text FROM documents
+)
+"""
+
+SQL_DEDUP_EXACT = (
+    "WITH "
+    + _DOCS
+    + r""",
+d AS (SELECT doc_id, md5(text) AS digest FROM docs),
+g AS (SELECT digest, count(*) AS group_size, min(doc_id) AS canonical_id
+      FROM d GROUP BY digest)
+SELECT d.doc_id, d.digest, g.group_size, g.canonical_id,
+       d.doc_id <> g.canonical_id AS is_duplicate
+FROM d JOIN g USING (digest)
+"""
+)
+
+# word 3-gram shingles + 16-seed MinHash, r=2 bands, exact-Jaccard verify
+_DEDUP_MINHASH_VERIFIED = r"""
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM docs)
+),
+sig AS (
+  SELECT doc_id, seed,
+         min(substr(md5(CAST(seed AS VARCHAR) || '|' || shingle), 1, 15)) AS mh
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
+  GROUP BY doc_id, seed
+),
+buckets AS (
+  SELECT doc_id,
+         CAST(seed // 2 AS VARCHAR) || ':' || string_agg(mh, ',' ORDER BY seed) AS bucket
+  FROM sig GROUP BY doc_id, seed // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id1, id2,
+         len(list_distinct(list_intersect(s1.shingles, s2.shingles))) /
+           CAST(len(list_distinct(list_concat(s1.shingles, s2.shingles))) AS DOUBLE)
+           AS jaccard
+  FROM cand JOIN sh s1 ON cand.id1 = s1.doc_id JOIN sh s2 ON cand.id2 = s2.doc_id
+)
+"""
+
+SQL_DEDUP_MINHASH_PAIRS = (
+    "WITH "
+    + _DOCS
+    + ","
+    + _DEDUP_MINHASH_VERIFIED
+    + "\nSELECT id1, id2, jaccard, jaccard >= 0.7 AS is_dup FROM verified"
+)
+
+# 60-bit bit-vote SimHash over whitespace tokens (mirrors operators/dedup.simhash)
+_SIMHASH = r"""
+tokw AS (
+  SELECT doc_id, tok, count(*) AS w
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM docs)
+  GROUP BY doc_id, tok
+),
+tokh AS (
+  SELECT doc_id, w,
+         CAST(CAST('0x' || substr(md5(CAST(tok AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS th
+  FROM tokw
+),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (th >> bit) & 1 = 1 THEN w ELSE -w END) AS v
+  FROM tokh CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit)
+  GROUP BY doc_id, bit
+),
+sh_hash AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+SQL_DEDUP_SIMHASH = "WITH " + _DOCS + "," + _SIMHASH + "\nSELECT doc_id, simhash FROM sh_hash"
+
+SQL_DEDUP_SIMHASH_PAIRS = (
+    "WITH "
+    + _DOCS
+    + ","
+    + _SIMHASH
+    + r""",
+bands AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS key
+  FROM sh_hash CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+)
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming,
+       bit_count(xor(a.simhash, b.simhash)) <= 3 AS is_dup
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+)
+
+SQL_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE "
+    + _DOCS
+    + ","
+    + _DEDUP_MINHASH_VERIFIED
+    + r""",
+edges AS (SELECT id1 AS u, id2 AS v FROM verified WHERE jaccard >= 0.7),
+"""
+    + _closure("edges")
+    + r"""
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS dup_group,
+       d.doc_id = coalesce(c.component, d.doc_id) AS keep
+FROM (SELECT doc_id FROM docs) d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+)
+
+SQL_DEDUP_EMBEDDING_PAIRS = r"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+aug AS (
+  SELECT vec_id, v FROM e
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 0.5) AS v FROM e
+),
+p AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         list_dot_product(a.v, b.v) /
+           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+           AS cos_sim
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+)
+SELECT id1, id2, round(cos_sim, 6) AS cos_sim, cos_sim >= 0.95 AS is_dup
+FROM p WHERE cos_sim >= 0.4
+"""
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+SQL_TEXT_STATS = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         CAST(len(text) AS INTEGER) AS n_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_chars, n_tokens,
+         round((n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
+         round((n_chars - len(regexp_replace(text, '[^\w\s]', '', 'g')))
+               / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+         round((n_chars - len(regexp_replace(text, '[0-9]', '', 'g')))
+               / CAST(n_chars AS DOUBLE), 6) AS digit_ratio,
+         round(len(list_distinct(toks)) / CAST(n_tokens AS DOUBLE), 6) AS uniq_token_ratio,
+         round(len(list_filter(toks, x -> list_contains(
+                 ['the','and','of','to','a','in','is','that','it','for'], lower(x))))
+               / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio
+  FROM t
+)
+SELECT *,
+       round(0.25 * least(n_tokens / 50.0, 1.0)
+             + 0.25 * (1.0 - least(punct_ratio * 4.0, 1.0))
+             + 0.2 * (1.0 - least(digit_ratio * 4.0, 1.0))
+             + 0.15 * uniq_token_ratio
+             + 0.15 * least(stopword_ratio * 5.0, 1.0), 6) AS quality
+FROM s
+"""
+
+_LANGS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "auf", "mit", "zu"],
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "que", "por"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"],
+}
+
+_LANG_SCORES = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, '{lang}' AS lang, "
+    "round(len(list_filter(toks, x -> list_contains([{words}], x))) "
+    "/ CAST(len(toks) AS DOUBLE), 6) AS score FROM t".format(
+        lang=lang, words=",".join(f"'{w}'" for w in words)
+    )
+    for lang, words in sorted(_LANGS.items())
+)
+
+SQL_TEXT_LANGUAGE_ID = (
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) AS toks
+  FROM documents
+),
+ls AS (
+"""
+    + _LANG_SCORES
+    + r"""
+),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rk
+  FROM ls
+)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+       score AS lang_score
+FROM best WHERE rk = 1
+"""
+)
+
+SQL_TEXT_FINGERPRINT = r"""
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+w AS (
+  SELECT doc_id, text, norm, regexp_split_to_array(trim(norm), '\s+') AS toks FROM n
+)
+SELECT doc_id, md5(text) AS fp_exact, md5(norm) AS fp_norm,
+       md5(list_min(list_distinct(list_transform(
+         generate_series(1, greatest(len(toks) - 4, 1)),
+         i -> array_to_string(list_slice(toks, i, i + 4), ' '))))) AS fp_shingle
+FROM w
+"""
+
+SQL_TEXT_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_split_to_array(trim(
+         regexp_replace(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\s])', '\1 ', 'g')),
+         '\s+')) AS INTEGER) AS n_bpe
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# Similarity
+# --------------------------------------------------------------------------
+
+SQL_SIMILARITY_TOPK = r"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.v, q.qv) /
+           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+           AS cos_sim
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+FROM s
+QUALIFY rank <= 10
+"""
+
+# --------------------------------------------------------------------------
+# As-of / windows / events
+# --------------------------------------------------------------------------
+
+SQL_ASOF_PREV_EVENT = r"""
+SELECT event_id, ts, user_id, event_type, value, props,
+       last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_value
+FROM events
+"""
+
+SQL_ASOF_JOIN_EVENTS = r"""
+SELECT l.event_id, l.ts, l.user_id, l.event_type, l.value, l.props,
+       r.value AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts > r.ts
+"""
+
+SQL_EVENTS_TUMBLING = r"""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+SQL_EVENTS_NEIGHBORS = r"""
+SELECT event_id, user_id, ts,
+       lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id,
+       lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id
+FROM events
+"""
+
+# --------------------------------------------------------------------------
+# Relational coverage
+# --------------------------------------------------------------------------
+
+SQL_TPCH_Q1 = r"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))
+         AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+         AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+         AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+SQL_ORDER_ENRICH_BROADCAST = r"""
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, n.n_name
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+SQL_TOP_ORDERS_PER_CUST = r"""
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+"""
+
+SQL_CUST_NO_ORDERS = r"""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+)
+"""
+
+# --------------------------------------------------------------------------
+# Multimodal plan + cluster pooling
+# --------------------------------------------------------------------------
+
+# mirrors multimodal.synthetic_media(n=24) (video = i%3==2, frames=30*(i+1))
+# + frame_sample_plan(every_n=10)
+SQL_MEDIA_FRAME_PLAN = r"""
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(unnest(generate_series(0, 30 * (CAST(i AS INTEGER) + 1) - 1, 10))
+            AS INTEGER) AS frame_idx
+FROM range(0, 24) t(i)
+WHERE i % 3 = 2
+"""
+
+SQL_CLUSTER_EMBEDDINGS = r"""
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS cluster_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT cluster_id, t.i - 1 AS slot, v[t.i] AS val
+  FROM e, unnest(generate_series(1, len(v))) AS t(i)
+),
+a AS (
+  SELECT cluster_id, slot, avg(val) AS mean_v, max(val) AS max_v
+  FROM s GROUP BY cluster_id, slot
+)
+SELECT cluster_id,
+       list(round(mean_v, 6) ORDER BY slot) AS emb_mean,
+       list(round(max_v, 6) ORDER BY slot) AS emb_max
+FROM a GROUP BY cluster_id
+"""
+
+ORACLES = {
+    "er_mentions": SQL_ER_MENTIONS,
+    "er_blocking_sortkey": SQL_ER_BLOCKING_SORTKEY,
+    "er_blocking_minhash": SQL_ER_BLOCKING_MINHASH,
+    "er_candidate_pairs": SQL_ER_CANDIDATE_PAIRS,
+    "er_scored_pairs": SQL_ER_SCORED_PAIRS,
+    "er_clusters": SQL_ER_CLUSTERS,
+    "er_entities": SQL_ER_ENTITIES,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_embedding_pairs": SQL_DEDUP_EMBEDDING_PAIRS,
+    "text_stats": SQL_TEXT_STATS,
+    "text_language_id": SQL_TEXT_LANGUAGE_ID,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
+    "similarity_topk": SQL_SIMILARITY_TOPK,
+    # similarity_ann: no oracle (approximate by design) → rows-only check
+    "asof_prev_event": SQL_ASOF_PREV_EVENT,
+    "asof_join_events": SQL_ASOF_JOIN_EVENTS,
+    "events_tumbling": SQL_EVENTS_TUMBLING,
+    "events_neighbors": SQL_EVENTS_NEIGHBORS,
+    "tpch_q1": SQL_TPCH_Q1,
+    "order_enrich_broadcast": SQL_ORDER_ENRICH_BROADCAST,
+    "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
+    "cust_no_orders": SQL_CUST_NO_ORDERS,
+    "media_frame_plan": SQL_MEDIA_FRAME_PLAN,
+    # media_features: no oracle (numpy byte-level decode stub) → rows-only
+    "cluster_embeddings": SQL_CLUSTER_EMBEDDINGS,
+}
