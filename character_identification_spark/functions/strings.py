@@ -73,13 +73,93 @@ def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1, threshold: float 
     return j + prefix * prefix_weight * (1.0 - j)
 
 
+def _jaro_winkler_np(s1: "pd.Series", s2: "pd.Series") -> "np.ndarray":
+    """Vectorized Jaro-Winkler over an Arrow batch: strings become a padded
+    uint8 matrix and the greedy match/transposition scan runs as L² numpy
+    column ops instead of a per-row Python loop (~50× faster). Exactly the
+    scalar algorithm (same greedy order, same formula, float64), so results
+    are bit-identical to jaro_winkler() and DuckDB — property-tested in
+    tests/test_strings.py."""
+    import numpy as np
+
+    n = len(s1)
+    a8 = np.array(s1.to_numpy(), dtype="S64")
+    b8 = np.array(s2.to_numpy(), dtype="S64")
+    A = a8.view("uint8").reshape(n, 64)
+    B = b8.view("uint8").reshape(n, 64)
+    la = (A != 0).sum(axis=1)
+    lb = (B != 0).sum(axis=1)
+    L = int(max(la.max(initial=0), lb.max(initial=0)))
+    if L == 0:
+        return np.zeros(n)
+    A, B = A[:, :L], B[:, :L]
+    md = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+
+    m1 = np.zeros((n, L), dtype=bool)
+    m2 = np.zeros((n, L), dtype=bool)
+    for i in range(L):
+        valid_i = i < la
+        if not valid_i.any():
+            break
+        claimed = np.zeros(n, dtype=bool)
+        ai = A[:, i]
+        lo, hi = i - md, i + md + 1
+        for j in range(L):
+            in_win = (j >= lo) & (j < hi) & (j < lb)
+            hit = valid_i & in_win & ~claimed & ~m2[:, j] & (ai == B[:, j]) & (ai != 0)
+            if hit.any():
+                m1[hit, i] = True
+                m2[hit, j] = True
+                claimed |= hit
+    m = m1.sum(axis=1).astype(np.float64)
+
+    # transpositions: scatter matched chars into rank-order buffers
+    r1 = np.cumsum(m1, axis=1) - 1
+    r2 = np.cumsum(m2, axis=1) - 1
+    t1 = np.zeros((n, L), dtype=np.uint8)
+    t2 = np.zeros((n, L), dtype=np.uint8)
+    rows = np.arange(n)[:, None].repeat(L, axis=1)
+    t1[rows[m1], r1[m1]] = A[m1]
+    t2[rows[m2], r2[m2]] = B[m2]
+    slot = np.arange(L)[None, :]
+    t = ((t1 != t2) & (slot < m[:, None])).sum(axis=1) // 2
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    jaro = np.where(m > 0, jaro, 0.0)
+    jaro = np.where((la == 0) | (lb == 0), 0.0, jaro)
+    eq = (la == lb) & (A == B).all(axis=1)
+    jaro = np.where(eq & (la > 0), 1.0, jaro)
+
+    # winkler boost: common prefix (cap 4) when jaro > 0.7
+    prefix = np.zeros(n)
+    still = np.ones(n, dtype=bool)
+    for k in range(min(4, L)):
+        still = still & (k < la) & (k < lb) & (A[:, k] == B[:, k])
+        prefix += still
+    return np.where(
+        (jaro > 0.7) & ~eq, jaro + prefix * 0.1 * (1.0 - jaro), jaro
+    )
+
+
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
-    return pd.Series(
-        [jaro_winkler(a, b) if (a is not None and b is not None) else None
-         for a, b in zip(s1, s2)],
-        dtype="float64",
-    )
+    import numpy as np
+
+    mask = s1.notna() & s2.notna()
+    out = pd.Series(np.full(len(s1), np.nan), index=s1.index, dtype="float64")
+    if mask.any():
+        a, b = s1[mask], s2[mask]
+        try:
+            # fast path: ascii ≤64 chars → vectorized numpy batch
+            if (a.str.len().max() or 0) <= 64 and (b.str.len().max() or 0) <= 64:
+                vals = _jaro_winkler_np(a, b)
+            else:
+                raise UnicodeEncodeError("ascii", "", 0, 0, "too long")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            vals = [jaro_winkler(x, y) for x, y in zip(a, b)]
+        out[mask] = vals
+    return out
 
 
 def _lcs_len(a: str, b: str) -> int:

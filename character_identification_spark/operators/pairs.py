@@ -6,9 +6,13 @@ batch.py:18-29). Here it is a single equi-join on block_key with an id
 inequality — the one genuinely quadratic step of the pipeline, which is why
 blocking.cap_block_sizes bounds block width before this join runs.
 
-Pairs appearing in several shared blocks are deduped with a groupBy (not
-dropDuplicates on the full row, which would keep an arbitrary block) so the
-provenance column is deterministic (min block_key).
+Shuffle discipline: the self-join runs on SKINNY rows (block_key + two
+longs) and dedupes to one row per pair (min block_key — deterministic,
+unlike dropDuplicates which keeps an arbitrary block); payload columns are
+attached AFTER dedup with two key joins. At 10^12-doc scale the raw pair
+fan-out is cap× the assignment count, so shuffling strings through it
+would multiply shuffle bytes by the payload width for rows that mostly
+collapse in the dedup.
 """
 
 from __future__ import annotations
@@ -25,25 +29,20 @@ def generate_pairs(
     """mentions(mention_uid, …payload) × assign(mention_uid, block_key) →
     pairs(uid1, uid2, block_key, <payload>_1, <payload>_2) with uid1 < uid2.
     """
-    keyed = assign.join(
-        mentions.select("mention_uid", *payload_cols), "mention_uid"
+    a = assign.select("block_key", F.col("mention_uid").alias("uid1"))
+    b = assign.select("block_key", F.col("mention_uid").alias("uid2"))
+    slim = (
+        a.join(b, "block_key")
+        .filter(F.col("uid1") < F.col("uid2"))
+        .groupBy("uid1", "uid2")
+        .agg(F.min("block_key").alias("block_key"))
     )
-    a = keyed.select(
-        F.col("block_key"),
+    m1 = mentions.select(
         F.col("mention_uid").alias("uid1"),
         *[F.col(c).alias(f"{c}_1") for c in payload_cols],
     )
-    b = keyed.select(
-        F.col("block_key"),
+    m2 = mentions.select(
         F.col("mention_uid").alias("uid2"),
         *[F.col(c).alias(f"{c}_2") for c in payload_cols],
     )
-    pairs = a.join(b, ["block_key"]).filter(F.col("uid1") < F.col("uid2"))
-    # a pair found via several blocks collapses to one row, min block_key;
-    # payload columns are identical across a pair's rows, so min() (not
-    # first(), which is order-dependent) keeps the output deterministic
-    keep = [c for c in pairs.columns if c not in ("block_key", "uid1", "uid2")]
-    return pairs.groupBy("uid1", "uid2").agg(
-        F.min("block_key").alias("block_key"),
-        *[F.min(c).alias(c) for c in keep],
-    )
+    return slim.join(m1, "uid1").join(m2, "uid2")

@@ -31,9 +31,27 @@ def score_pairs(
     pairs: DataFrame,
     threshold: float = DEFAULT_THRESHOLD,
     with_embeddings: bool = False,
+    dedup_strings: bool = True,
 ) -> DataFrame:
     """pairs(…, norm_1, norm_2[, emb_1, emb_2]) → + jw, lev_ratio,
-    tok_jaccard[, cos_sim], score, is_match."""
+    tok_jaccard[, cos_sim], score, is_match.
+
+    With ``dedup_strings`` (string-only path), features are computed once
+    per DISTINCT (norm_1, norm_2) and joined back: every feature is a pure
+    function of the two strings, and at corpus scale the same name pair
+    recurs across millions of blocks — this keeps the pandas-UDF (jw) row
+    count proportional to the vocabulary, not the pair count.
+    """
+    if dedup_strings and not with_embeddings:
+        uniq = pairs.select("norm_1", "norm_2").distinct()
+        feats = _score_strings(uniq, threshold)
+        return pairs.join(feats, ["norm_1", "norm_2"])
+    return _score_strings(pairs, threshold, with_embeddings)
+
+
+def _score_strings(
+    pairs: DataFrame, threshold: float, with_embeddings: bool = False
+) -> DataFrame:
     n1, n2 = F.col("norm_1"), F.col("norm_2")
     t1, t2 = F.split(n1, " "), F.split(n2, " ")
     scored = (

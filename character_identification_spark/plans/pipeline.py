@@ -3,9 +3,20 @@
 Stage graph (each stage = one checkpoint table + one metrics row + a
 per-partition lineage table):
 
-  pages ─extract→ extracted ─mentions→ mentions ─blocks→ block_assign
-        ─pairs→ candidate_pairs ─scores→ scored_pairs ─edges→ match_edges
-        ─cluster→ assignments ─entities→ entities
+  pages ─extract→ extracted ─mentions→ mentions ─dedup→ names
+        ─blocks→ block_assign ─pairs→ candidate_pairs ─scores→ scored_pairs
+        ─edges→ match_edges ─cluster+join→ assignments ─entities→ entities
+
+Linkage runs at the NAME level (dedup-then-link): blocking, pairing,
+scoring, and connected components operate on DISTINCT normalized name
+strings; mentions inherit their name's cluster through one join on norm.
+Identical surface forms trivially co-refer, so collapsing them first
+shrinks the quadratic stages by the mention-per-name multiplicity (~10³ on
+web corpora — a celebrity name appears millions of times but is one node
+here), which is what makes the 10^12-mention target tractable. The final
+norm join is skew-prone (hot names fan out to many mentions) but
+many-to-one, which AQE skew-split handles; no pair generation ever sees
+the multiplicity.
 
 Resume: a stage whose output table already exists (committed _SUCCESS /
 Iceberg snapshot) is skipped and its table re-read — so a killed job
@@ -32,6 +43,7 @@ from character_identification_spark.evaluation.pairf1 import (
     gold_pairs_from_mentions,
     pairwise_f1,
 )
+from character_identification_spark.functions.hashing import h_long
 from character_identification_spark.ingest.extract import extracted_pages
 from character_identification_spark.ingest.mentions import extract_mentions
 from character_identification_spark.operators.blocking import assign_blocks
@@ -98,12 +110,23 @@ def run_pipeline(
     mentions = _run_stage(
         store, "mentions", ["extracted"], lambda: extract_mentions(extracted), cfg
     )
+    # name-level linkage: one node per distinct normalized surface form.
+    # name_uid rides in the blocking/pairing operators' mention_uid slot.
+    names = _run_stage(
+        store,
+        "names",
+        ["mentions"],
+        lambda: mentions.select("norm")
+        .distinct()
+        .withColumn("mention_uid", h_long(F.col("norm"))),
+        cfg,
+    )
     blocks = _run_stage(
         store,
         "block_assign",
-        ["mentions"],
+        ["names"],
         lambda: assign_blocks(
-            mentions,
+            names,
             prefix_len=cfg.prefix_len,
             n_gram=cfg.n_gram,
             num_hashes=cfg.num_hashes,
@@ -115,15 +138,17 @@ def run_pipeline(
     pairs = _run_stage(
         store,
         "candidate_pairs",
-        ["mentions", "block_assign"],
-        lambda: generate_pairs(mentions, blocks),
+        ["names", "block_assign"],
+        lambda: generate_pairs(names, blocks, payload_cols=("norm",)),
         cfg,
     )
     scored = _run_stage(
         store,
         "scored_pairs",
         ["candidate_pairs"],
-        lambda: score_pairs(pairs, cfg.threshold),
+        # names are distinct strings by construction, so the string-dedup
+        # prepass inside score_pairs would be a no-op shuffle — skip it
+        lambda: score_pairs(pairs, cfg.threshold, dedup_strings=False),
         cfg,
     )
     edges = _run_stage(
@@ -138,9 +163,12 @@ def run_pipeline(
     assignments = _run_stage(
         store,
         "assignments",
-        ["match_edges", "mentions"],
-        lambda: attach_singletons(
-            mentions, connected_components(edges, max_iter=cfg.cc_max_iter)
+        ["match_edges", "names", "mentions"],
+        lambda: mentions.join(
+            attach_singletons(
+                names, connected_components(edges, max_iter=cfg.cc_max_iter)
+            ).select("norm", "cluster_id"),
+            "norm",
         ),
         cfg,
     )
@@ -154,6 +182,7 @@ def run_pipeline(
     return {
         "extracted": extracted,
         "mentions": mentions,
+        "names": names,
         "block_assign": blocks,
         "candidate_pairs": pairs,
         "scored_pairs": scored,

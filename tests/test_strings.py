@@ -55,3 +55,29 @@ def test_norm_text(spark):
     )
     out = [r["n"] for r in df.select(norm_text("s").alias("n")).collect()]
     assert out == ["ross geller", "j r r tolkien", ""]
+
+
+def test_vectorized_jw_matches_scalar_property():
+    """The numpy batch Jaro-Winkler must be bit-identical to the scalar
+    reference implementation (which is itself DuckDB-compatible)."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from character_identification_spark.functions.strings import (
+        _jaro_winkler_np,
+        jaro_winkler,
+    )
+
+    alpha = st.text(alphabet="abcdef 123", min_size=0, max_size=20)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.tuples(alpha, alpha), min_size=1, max_size=50))
+    def check(pairs):
+        s1 = pd.Series([p[0] for p in pairs])
+        s2 = pd.Series([p[1] for p in pairs])
+        got = _jaro_winkler_np(s1, s2)
+        for (a, b), g in zip(pairs, got):
+            assert g == jaro_winkler(a, b), (a, b)
+
+    check()
