@@ -91,9 +91,11 @@ def _pipeline_assignments(spark: SparkSession, pages_path: str, cores: int):
     from character_identification_spark.ingest.extract import extracted_pages
     from character_identification_spark.ingest.mentions import extract_mentions
     from character_identification_spark.operators.blocking import assign_blocks
-    from character_identification_spark.operators.cc import (
-        attach_singletons,
-        connected_components,
+    from character_identification_spark.operators.cc import connected_components
+    from character_identification_spark.operators.context import (
+        name_cluster_table,
+        resolve_in_context,
+        split_name_edges,
     )
     from character_identification_spark.operators.pairs import generate_pairs
     from character_identification_spark.operators.scoring import score_pairs
@@ -108,12 +110,12 @@ def _pipeline_assignments(spark: SparkSession, pages_path: str, cores: int):
     ).persist()
     blocks = assign_blocks(names, max_block_size=200)
     pairs = generate_pairs(names, blocks, payload_cols=("norm",))
-    scored = score_pairs(pairs, 0.82, dedup_strings=False)
-    edges = scored.filter(F.col("is_match")).select(
-        F.col("uid1").alias("u"), F.col("uid2").alias("v")
-    )
-    name_assign = attach_singletons(names, connected_components(edges))
-    return mentions.join(name_assign.select("norm", "cluster_id"), "norm")
+    scored = score_pairs(pairs, 0.82, dedup_strings=False).persist()
+    safe_edges, amb_links = split_name_edges(scored)
+    name_clusters = name_cluster_table(
+        names, connected_components(safe_edges), amb_links
+    ).persist()
+    return resolve_in_context(mentions, name_clusters, amb_links)
 
 
 def _scale_worker(cores: int, pages_path: str) -> None:
@@ -150,13 +152,21 @@ def run_scaling(pages_path: str, n_pages: int) -> dict:
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
     out: dict = {"pages": n_pages, "cores_lo": lo, "cores_hi": hi,
                  "repeats": repeats}
+    import shutil as _shutil
+
     for tag, cores in (("lo", lo), ("hi", hi)):
         walls = []
         for _ in range(repeats):
+            cmd = [sys.executable, os.path.abspath(__file__), "--scale-worker",
+                   str(cores), pages_path]
+            if _shutil.which("taskset"):
+                # pin the JVM to exactly `cores` CPUs: an unpinned
+                # local[2] JVM still runs GC/JIT/shuffle-IO threads on
+                # spare host cores, inflating low-core throughput and
+                # understating the true scaling ratio
+                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scale-worker",
-                 str(cores), pages_path],
-                capture_output=True, text=True, timeout=1800,
+                cmd, capture_output=True, text=True, timeout=3600,
             )
             m = re.search(r"WALL_S ([0-9.]+)", proc.stdout)
             if not m:
@@ -181,7 +191,7 @@ def main() -> None:
         _scale_worker(int(sys.argv[2]), sys.argv[3])
         return
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    pages_path = f"/tmp/bench_pages_{SCALE_PAGES}"
+    pages_path = f"/tmp/bench_pages_v2_{SCALE_PAGES}"
 
     spark = _session(CPUS, "bench")
     spark.sparkContext.setLogLevel("ERROR")

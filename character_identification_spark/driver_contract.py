@@ -160,10 +160,12 @@ def q_er_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uid2",
         "block_key",
         F.round("jw", 6).alias("jw"),
+        F.round("jw_last", 6).alias("jw_last"),
         F.round("lev_ratio", 6).alias("lev_ratio"),
         F.round("tok_jaccard", 6).alias("tok_jaccard"),
         "tok_contained",
         "initial_alias",
+        "tokenwise_typo",
         F.round("score", 6).alias("score"),
         "is_match",
     )
@@ -360,6 +362,82 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path scalar extraction (the shredding step the reference does
+    at ingest, SURVEY §2 S3, as a queryable scalar function)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-vocabulary scan with counts (SURVEY §2 A1 — the
+    reference's corpus-wide speaker/POS/NER vocab collection)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection bucket ids — value-level proof that the
+    md5-derived hyperplanes (operators/similarity.plane_component) are
+    engine-independent pure functions."""
+    from character_identification_spark.operators.similarity import sign_lsh_bucket
+
+    e = _emb_double(spark, sf_dir)
+    return e.select(
+        "vec_id",
+        sign_lsh_bucket("embedding", F.size(F.col("embedding")), n_planes=4).alias(
+            "bucket"
+        ),
+    )
+
+
+def q_eval_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B³ evaluation operator (SURVEY §2 A6 / reference evaluators.py:34-58)
+    scoring the 4-plane LSH bucketing against the embeddings' gold label —
+    per-mention P = |gold∩auto|/|auto|, R = |gold∩auto|/|gold|, averaged."""
+    from character_identification_spark.operators.similarity import sign_lsh_bucket
+
+    e = _emb_double(spark, sf_dir)
+    m = e.select(
+        "vec_id",
+        sign_lsh_bucket("embedding", F.size(F.col("embedding")), n_planes=4).alias(
+            "cluster_id"
+        ),
+        F.col("label").cast("long").alias("entity"),
+    )
+    cell = m.groupBy("cluster_id", "entity").agg(F.count("*").alias("ov"))
+    csz = m.groupBy("cluster_id").agg(F.count("*").alias("cn"))
+    esz = m.groupBy("entity").agg(F.count("*").alias("en"))
+    per = (
+        m.join(cell, ["cluster_id", "entity"])
+        .join(csz, "cluster_id")
+        .join(esz, "entity")
+        .select(
+            (F.col("ov") / F.col("cn")).alias("p"), (F.col("ov") / F.col("en")).alias("r")
+        )
+    )
+    return per.agg(
+        F.round(F.avg("p"), 6).alias("precision"),
+        F.round(F.avg("r"), 6).alias("recall"),
+    ).select(
+        "precision",
+        "recall",
+        F.round(
+            2 * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall")),
+            6,
+        ).alias("f1"),
+    )
+
+
 def q_events_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbor linking (SURVEY §2 S7): prev/next event per user via
     lag/lead — the reference's doubly-linked lists as window functions."""
@@ -495,6 +573,10 @@ QUERIES = {
     "text_token_counts": q_text_token_counts,
     "similarity_topk": q_similarity_topk,
     "similarity_ann": q_similarity_ann,
+    "events_json_props": q_events_json_props,
+    "text_vocab": q_text_vocab,
+    "similarity_lsh_buckets": q_similarity_lsh_buckets,
+    "eval_bcubed": q_eval_bcubed,
     "asof_prev_event": q_asof_prev_event,
     "asof_join_events": q_asof_join_events,
     "events_tumbling": q_events_tumbling,

@@ -150,15 +150,23 @@ def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
     out = pd.Series(np.full(len(s1), np.nan), index=s1.index, dtype="float64")
     if mask.any():
         a, b = s1[mask], s2[mask]
+        # factorize duplicate (a, b) pairs within the batch: token-level
+        # inputs (e.g. surname pairs across name pairs) repeat heavily, so
+        # each unique pair is computed once and scattered back
+        codes, _ = pd.factorize(a.str.cat(b, sep="\x01"))
+        _, first_idx = np.unique(codes, return_index=True)
+        ua, ub = a.iloc[first_idx], b.iloc[first_idx]
         try:
             # fast path: ascii ≤64 chars → vectorized numpy batch
-            if (a.str.len().max() or 0) <= 64 and (b.str.len().max() or 0) <= 64:
-                vals = _jaro_winkler_np(a, b)
+            if (ua.str.len().max() or 0) <= 64 and (ub.str.len().max() or 0) <= 64:
+                uvals = np.asarray(_jaro_winkler_np(ua, ub))
             else:
                 raise UnicodeEncodeError("ascii", "", 0, 0, "too long")
         except (UnicodeEncodeError, UnicodeDecodeError):
-            vals = [jaro_winkler(x, y) for x, y in zip(a, b)]
-        out[mask] = vals
+            uvals = np.array([jaro_winkler(x, y) for x, y in zip(ua, ub)])
+        # codes index into uniques in order of first appearance, which is
+        # exactly np.unique(codes) since factorize assigns codes 0,1,2,…
+        out[mask] = uvals[codes]
     return out
 
 

@@ -56,6 +56,14 @@ def _score_strings(
     t1, t2 = F.split(n1, " "), F.split(n2, " ")
     scored = (
         pairs.withColumn("jw", jaro_winkler_udf(n1, n2))
+        # surname guard: whole-string JW rewards long shared prefixes, so
+        # "rachel geller" ~ "rachel green" scores 0.91 — field-aware
+        # similarity on the last token separates shared-first-name pairs
+        # (goes to ~0.75) while typo'd surnames stay ~0.95
+        .withColumn(
+            "jw_last",
+            jaro_winkler_udf(F.element_at(t1, -1), F.element_at(t2, -1)),
+        )
         .withColumn(
             "lev_ratio",
             1.0 - F.levenshtein(n1, n2) / F.greatest(F.length(n1), F.length(n2)),
@@ -71,13 +79,16 @@ def _score_strings(
         )
     )
     # initial-alias rule: "c bunch" ~ "carol bunch" — token-count equal,
-    # identical tails, first tokens in a prefix relation
+    # identical tails, and one first token is a TRUE single-char initial
+    # prefixing the other. A general prefix relation is NOT identity:
+    # "alice geller" prefixes "alicecarol geller" yet names someone else.
     f1, f2 = F.element_at(t1, 1), F.element_at(t2, 1)
     scored = scored.withColumn(
         "initial_alias",
         (F.size(t1) == F.size(t2))
         & (F.size(t1) >= 2)
         & (F.slice(t1, 2, 1000) == F.slice(t2, 2, 1000))
+        & (F.least(F.length(f1), F.length(f2)) == 1)
         & (f1.startswith(f2) | f2.startswith(f1)),
     )
     if with_embeddings:
@@ -91,15 +102,46 @@ def _score_strings(
     else:
         score = 0.5 * F.col("jw") + 0.3 * F.col("lev_ratio") + 0.2 * F.col("tok_jaccard")
     score = score + F.when(F.col("tok_contained"), 0.12).otherwise(0.0)
-    # decision: typo rule OR containment-alias rule OR initial-alias rule
-    # OR blended score. Containment ("ross" ⊆ "ross geller") trades some
-    # precision at open-web scale ("john" bridging "john smith"/"john doe");
-    # block structure plus the jw floor keeps it safe on persona aliases.
+    # tokenwise typo rule: same token count and every ALIGNED token within
+    # Damerau-Levenshtein 1 (one ins/del/sub OR one adjacent
+    # transposition). This is the identity test whole-string JW cannot
+    # be: JW ≥ 0.9 with an equal surname still fuses similar first names
+    # ("chandler kingsley" ~ "charlie kingsley" = 0.91 via the prefix
+    # boost), and plain Levenshtein can't hold transpositions
+    # (geller→gleler = 2) apart from two substitutions (zelner→geller =
+    # 2). Spark lacks a DL builtin, so DL ≤ 1 is decomposed JVM-side as
+    # lev ≤ 1 ∨ single-adjacent-transposition; the DuckDB oracle uses its
+    # native damerau_levenshtein — one of the spots where engine and
+    # oracle run different algorithms and must agree value-for-value.
+    def _dl1(a, b):
+        transposed = (F.length(a) == F.length(b)) & F.exists(
+            F.sequence(F.lit(1), F.greatest(F.length(a) - 1, F.lit(1))),
+            lambda i: (a.substr(F.lit(1), i - 1) == b.substr(F.lit(1), i - 1))
+            & (a.substr(i, F.lit(1)) == b.substr(i + 1, F.lit(1)))
+            & (a.substr(i + 1, F.lit(1)) == b.substr(i, F.lit(1)))
+            & (a.substr(i + 2, F.length(a)) == b.substr(i + 2, F.length(b))),
+        )
+        return (F.levenshtein(a, b) <= 1) | transposed
+
+    tokenwise_typo = (F.size(t1) == F.size(t2)) & F.forall(
+        F.zip_with(t1, t2, _dl1), lambda x: x
+    )
+    # decision: tokenwise typo OR whole-string-edit rule OR containment-
+    # alias OR initial-alias OR blended score. The edit/blend rules carry
+    # the surname guard (jw_last); containment ("ross" ⊆ "ross geller")
+    # and initial aliases are inherently ambiguous and are resolved
+    # downstream (operators/context.py) rather than trusted as global
+    # links.
+    last_ok = F.col("jw_last") >= 0.85
     match = (
-        (F.col("jw") >= 0.90)
-        | (F.col("lev_ratio") >= 0.85)
+        tokenwise_typo
+        | ((F.col("lev_ratio") >= 0.85) & last_ok)
         | (F.col("tok_contained") & (F.col("jw") >= 0.65))
         | F.col("initial_alias")
-        | (score >= threshold)
+        | ((score >= threshold) & last_ok)
     )
-    return scored.withColumn("score", score).withColumn("is_match", match)
+    return (
+        scored.withColumn("tokenwise_typo", tokenwise_typo)
+        .withColumn("score", score)
+        .withColumn("is_match", match)
+    )

@@ -144,13 +144,19 @@ _ER_SCORED = r"""
 feat AS (
   SELECT uid1, uid2, block_key,
          jaro_winkler_similarity(norm_1, norm_2) AS jw,
+         jaro_winkler_similarity(t1[-1], t2[-1]) AS jw_last,
          1.0 - levenshtein(norm_1, norm_2) / greatest(len(norm_1), len(norm_2)) AS lev_ratio,
          len(list_distinct(list_intersect(t1, t2))) /
            CAST(len(list_distinct(list_concat(t1, t2))) AS DOUBLE) AS tok_jaccard,
          (len(list_filter(t1, x -> NOT list_contains(t2, x))) = 0
           OR len(list_filter(t2, x -> NOT list_contains(t1, x))) = 0) AS tok_contained,
          (len(t1) = len(t2) AND len(t1) >= 2 AND t1[2:] = t2[2:]
-          AND (starts_with(t1[1], t2[1]) OR starts_with(t2[1], t1[1]))) AS initial_alias
+          AND least(length(t1[1]), length(t2[1])) = 1
+          AND (starts_with(t1[1], t2[1]) OR starts_with(t2[1], t1[1]))) AS initial_alias,
+         (len(t1) = len(t2) AND len(list_filter(
+            list_transform(generate_series(1, len(t1)),
+              i -> damerau_levenshtein(t1[i], t2[i]) <= 1),
+            x -> NOT x)) = 0) AS tokenwise_typo
   FROM (SELECT *, string_split(norm_1, ' ') AS t1, string_split(norm_2, ' ') AS t2
         FROM pairs)
 ),
@@ -162,8 +168,9 @@ scored AS (
 ),
 decided AS (
   SELECT *,
-         (jw >= 0.90 OR lev_ratio >= 0.85 OR (tok_contained AND jw >= 0.65)
-          OR initial_alias OR score >= 0.82) AS is_match
+         (tokenwise_typo OR (lev_ratio >= 0.85 AND jw_last >= 0.85)
+          OR (tok_contained AND jw >= 0.65) OR initial_alias
+          OR (score >= 0.82 AND jw_last >= 0.85)) AS is_match
   FROM scored
 )
 """
@@ -244,9 +251,10 @@ SQL_ER_SCORED_PAIRS = (
     + _ER_SCORED
     + r"""
 SELECT uid1, uid2, block_key,
-       round(jw, 6) AS jw, round(lev_ratio, 6) AS lev_ratio,
+       round(jw, 6) AS jw, round(jw_last, 6) AS jw_last,
+       round(lev_ratio, 6) AS lev_ratio,
        round(tok_jaccard, 6) AS tok_jaccard, tok_contained, initial_alias,
-       round(score, 6) AS score, is_match
+       tokenwise_typo, round(score, 6) AS score, is_match
 FROM decided
 """
 )
@@ -561,6 +569,70 @@ FROM s
 QUALIFY rank <= 10
 """
 
+def _dd_plane_dot(p: int) -> str:
+    """DuckDB twin of operators/similarity.plane_component folded into a
+    dot product against plane p (only the SIGN is consumed downstream)."""
+    h = (
+        f"CAST(CAST('0x' || substr(md5('{p}|' || CAST(i - 1 AS VARCHAR)), 1, 15)"
+        " AS UBIGINT) AS BIGINT)"
+    )
+    return (
+        "list_sum(list_transform(generate_series(1, len(v)), "
+        f"i -> v[i] * (({h} / 576460752303423488.0) - 1.0)))"
+    )
+
+
+_LSH_BUCKET_EXPR = "CAST(" + " + ".join(
+    f"(CASE WHEN ({_dd_plane_dot(p)}) >= 0 THEN {1 << p} ELSE 0 END)" for p in range(4)
+) + " AS BIGINT)"
+
+SQL_SIMILARITY_LSH_BUCKETS = (
+    r"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+)
+SELECT vec_id, """
+    + _LSH_BUCKET_EXPR
+    + " AS bucket FROM e"
+)
+
+SQL_EVAL_BCUBED = (
+    r"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         CAST(label AS BIGINT) AS entity
+  FROM embeddings
+),
+m AS (SELECT vec_id, """
+    + _LSH_BUCKET_EXPR
+    + r""" AS cluster_id, entity FROM e),
+cell AS (SELECT cluster_id, entity, count(*) AS ov FROM m GROUP BY cluster_id, entity),
+csz AS (SELECT cluster_id, count(*) AS cn FROM m GROUP BY cluster_id),
+esz AS (SELECT entity, count(*) AS en FROM m GROUP BY entity),
+per AS (
+  SELECT ov / CAST(cn AS DOUBLE) AS p, ov / CAST(en AS DOUBLE) AS r
+  FROM m JOIN cell USING (cluster_id, entity)
+         JOIN csz USING (cluster_id) JOIN esz USING (entity)
+),
+agg AS (SELECT round(avg(p), 6) AS precision, round(avg(r), 6) AS recall FROM per)
+SELECT precision, recall,
+       round(2 * precision * recall / (precision + recall), 6) AS f1
+FROM agg
+"""
+)
+
+SQL_EVENTS_JSON_PROPS = r"""
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+FROM events
+"""
+
+SQL_TEXT_VOCAB = r"""
+SELECT tok AS token, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)
+GROUP BY tok
+"""
+
 # --------------------------------------------------------------------------
 # As-of / windows / events
 # --------------------------------------------------------------------------
@@ -700,6 +772,10 @@ ORACLES = {
     "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     # similarity_ann: no oracle (approximate by design) → rows-only check
+    "similarity_lsh_buckets": SQL_SIMILARITY_LSH_BUCKETS,
+    "eval_bcubed": SQL_EVAL_BCUBED,
+    "events_json_props": SQL_EVENTS_JSON_PROPS,
+    "text_vocab": SQL_TEXT_VOCAB,
     "asof_prev_event": SQL_ASOF_PREV_EVENT,
     "asof_join_events": SQL_ASOF_JOIN_EVENTS,
     "events_tumbling": SQL_EVENTS_TUMBLING,

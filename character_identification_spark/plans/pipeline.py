@@ -48,9 +48,11 @@ from character_identification_spark.ingest.extract import extracted_pages
 from character_identification_spark.ingest.mentions import extract_mentions
 from character_identification_spark.operators.blocking import assign_blocks
 from character_identification_spark.operators.canonicalize import canonical_entities
-from character_identification_spark.operators.cc import (
-    attach_singletons,
-    connected_components,
+from character_identification_spark.operators.cc import connected_components
+from character_identification_spark.operators.context import (
+    name_cluster_table,
+    resolve_in_context,
+    split_name_edges,
 )
 from character_identification_spark.operators.pairs import generate_pairs
 from character_identification_spark.operators.scoring import score_pairs
@@ -151,25 +153,39 @@ def run_pipeline(
         lambda: score_pairs(pairs, cfg.threshold, dedup_strings=False),
         cfg,
     )
+    # global CC runs only over unambiguous↔unambiguous matches; matches
+    # with one ambiguous side become candidate attachments (hub-safe
+    # linkage — see operators/context.py)
     edges = _run_stage(
         store,
         "match_edges",
         ["scored_pairs"],
-        lambda: scored.filter(F.col("is_match")).select(
-            F.col("uid1").alias("u"), F.col("uid2").alias("v")
+        lambda: split_name_edges(scored)[0],
+        cfg,
+    )
+    amb_links = _run_stage(
+        store,
+        "alias_links",
+        ["scored_pairs"],
+        lambda: split_name_edges(scored)[1],
+        cfg,
+    )
+    name_clusters = _run_stage(
+        store,
+        "name_clusters",
+        ["match_edges", "alias_links", "names"],
+        lambda: name_cluster_table(
+            names,
+            connected_components(edges, max_iter=cfg.cc_max_iter),
+            amb_links,
         ),
         cfg,
     )
     assignments = _run_stage(
         store,
         "assignments",
-        ["match_edges", "names", "mentions"],
-        lambda: mentions.join(
-            attach_singletons(
-                names, connected_components(edges, max_iter=cfg.cc_max_iter)
-            ).select("norm", "cluster_id"),
-            "norm",
-        ),
+        ["name_clusters", "alias_links", "mentions"],
+        lambda: resolve_in_context(mentions, name_clusters, amb_links),
         cfg,
     )
     entities = _run_stage(
@@ -187,6 +203,8 @@ def run_pipeline(
         "candidate_pairs": pairs,
         "scored_pairs": scored,
         "match_edges": edges,
+        "alias_links": amb_links,
+        "name_clusters": name_clusters,
         "assignments": assignments,
         "entities": entities,
     }

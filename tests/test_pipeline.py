@@ -27,15 +27,15 @@ def test_end_to_end_f1_gate(spark, small_corpus, tmp_workdir):
     # stage checkpoints + meta tables all on disk
     for stage in (
         "extracted", "mentions", "names", "block_assign", "candidate_pairs",
-        "scored_pairs", "match_edges", "assignments", "entities",
-        "_meta_metrics", "_meta_lineage",
+        "scored_pairs", "match_edges", "alias_links", "name_clusters",
+        "assignments", "entities", "_meta_metrics", "_meta_lineage",
     ):
         assert os.path.exists(os.path.join(tmp_workdir, stage)), stage
 
     metrics = spark.read.parquet(os.path.join(tmp_workdir, "_meta_metrics"))
-    assert metrics.count() == 9
+    assert metrics.count() == 11
     lineage = spark.read.parquet(os.path.join(tmp_workdir, "_meta_lineage"))
-    assert lineage.select("stage").distinct().count() == 9
+    assert lineage.select("stage").distinct().count() == 11
     # lineage row counts reconcile with stage row counts
     recon = (
         lineage.groupBy("stage").agg(F.sum("rows").alias("lrows"))
