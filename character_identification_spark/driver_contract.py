@@ -171,6 +171,28 @@ def q_er_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_er_scored_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise scoring with the embedding-cosine blend (SURVEY §2 M1/M2:
+    hashed n-gram mention encoder + cosine feature), demonstrating the
+    `with_embeddings` scorer path end-to-end with oracle-parity vectors."""
+    from character_identification_spark.functions.vectors import hash_embedding
+
+    m = _er_mentions_df(spark, sf_dir).withColumn(
+        "emb", hash_embedding("norm", dim=16)
+    )
+    pairs = generate_pairs(m, _er_blocks_df(m), payload_cols=("norm", "emb"))
+    scored = score_pairs(pairs, threshold=0.82, with_embeddings=True)
+    return scored.select(
+        "uid1",
+        "uid2",
+        F.round("jw", 6).alias("jw"),
+        F.round("jw_last", 6).alias("jw_last"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.round("score", 6).alias("score"),
+        "is_match",
+    )
+
+
 def _er_assign_df(spark: SparkSession, sf_dir: str):
     m, scored = _er_scored_df(spark, sf_dir)
     edges = scored.filter(F.col("is_match")).select(
@@ -459,6 +481,35 @@ def q_events_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+def q_orders_split_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split routing (SURVEY §2 F7 — the reference's episode→trn/dev/tst
+    partitioning) as a derived partition column + per-split counts."""
+    o = _t(spark, sf_dir, "orders")
+    split = (
+        F.when(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"), "trn")
+        .when(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"), "dev")
+        .otherwise("tst")
+    )
+    return o.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+def q_events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count rollup + row normalization (SURVEY §2 A5 — the reference's
+    gender-count distribution): each user's event-type mix as shares."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    tot = ev.groupBy("user_id").agg(F.count("*").alias("total"))
+    return per.join(tot, "user_id").select(
+        "user_id",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("share"),
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
@@ -559,6 +610,7 @@ QUERIES = {
     "er_blocking_minhash": q_er_blocking_minhash,
     "er_candidate_pairs": q_er_candidate_pairs,
     "er_scored_pairs": q_er_scored_pairs,
+    "er_scored_embedding": q_er_scored_embedding,
     "er_clusters": q_er_clusters,
     "er_entities": q_er_entities,
     "dedup_exact": q_dedup_exact,
@@ -581,6 +633,8 @@ QUERIES = {
     "asof_join_events": q_asof_join_events,
     "events_tumbling": q_events_tumbling,
     "events_neighbors": q_events_neighbors,
+    "orders_split_routing": q_orders_split_routing,
+    "events_type_share": q_events_type_share,
     "tpch_q1": q_tpch_q1,
     "order_enrich_broadcast": q_order_enrich_broadcast,
     "top_orders_per_cust": q_top_orders_per_cust,

@@ -30,3 +30,38 @@ def l2_norm(a: Column | str) -> Column:
 
 def cosine_sim(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def hash_embedding(col: Column | str, dim: int = 16, n_gram: int = 3) -> Column:
+    """Deterministic bag-of-shingles embedding: component d = Σ over the
+    string's distinct character n-grams of an md5-derived pseudo-random
+    value in [-1, 1) (same primitive as operators/similarity.plane_component,
+    seeded by (d, shingle)). Strings sharing shingles get correlated
+    vectors — a pure-function analog of the reference's mention encoder
+    (reference: latest/model/coref.py:40-70) with the determinism rule
+    SURVEY.md §7.3 demands, computable identically in DuckDB SQL."""
+    from character_identification_spark.operators.blocking import char_shingles
+
+    sh = char_shingles(col, n_gram)
+
+    def comp(d: int) -> Column:
+        return F.aggregate(
+            F.transform(
+                sh,
+                lambda s: (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("|", F.lit(str(d)), s)), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    / F.lit(float(2**59))
+                )
+                - 1.0,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return F.array(*[comp(d) for d in range(dim)])

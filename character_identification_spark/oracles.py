@@ -259,6 +259,85 @@ FROM decided
 """
 )
 
+def _dd_embed_comp(d: int) -> str:
+    """DuckDB twin of functions/vectors.hash_embedding component d."""
+    h = (
+        f"CAST(CAST('0x' || substr(md5('{d}|' || s), 1, 15) AS UBIGINT) AS BIGINT)"
+    )
+    return (
+        "list_sum(list_transform(sh, s -> "
+        f"(({h} / 576460752303423488.0) - 1.0)))"
+    )
+
+
+SQL_ER_SCORED_EMBEDDING = (
+    "WITH "
+    + _ER_M
+    + ","
+    + _ER_BLOCKS
+    + ","
+    + _ER_PAIRS
+    + r""",
+emb AS (
+  SELECT mention_uid, ["""
+    + ", ".join(_dd_embed_comp(d) for d in range(16))
+    + r"""] AS emb
+  FROM (
+    SELECT mention_uid,
+           list_distinct(list_transform(
+             generate_series(1, greatest(len(norm) - 2, 1)),
+             i -> substr(norm, i, 3))) AS sh
+    FROM m
+  )
+),
+ep AS (
+  SELECT p.*, e1.emb AS emb_1, e2.emb AS emb_2
+  FROM pairs p
+  JOIN emb e1 ON p.uid1 = e1.mention_uid
+  JOIN emb e2 ON p.uid2 = e2.mention_uid
+),
+efeat AS (
+  SELECT uid1, uid2,
+         jaro_winkler_similarity(norm_1, norm_2) AS jw,
+         jaro_winkler_similarity(t1[-1], t2[-1]) AS jw_last,
+         1.0 - levenshtein(norm_1, norm_2) / greatest(len(norm_1), len(norm_2)) AS lev_ratio,
+         len(list_distinct(list_intersect(t1, t2))) /
+           CAST(len(list_distinct(list_concat(t1, t2))) AS DOUBLE) AS tok_jaccard,
+         (len(list_filter(t1, x -> NOT list_contains(t2, x))) = 0
+          OR len(list_filter(t2, x -> NOT list_contains(t1, x))) = 0) AS tok_contained,
+         (len(t1) = len(t2) AND len(t1) >= 2 AND t1[2:] = t2[2:]
+          AND least(length(t1[1]), length(t2[1])) = 1
+          AND (starts_with(t1[1], t2[1]) OR starts_with(t2[1], t1[1]))) AS initial_alias,
+         (len(t1) = len(t2) AND len(list_filter(
+            list_transform(generate_series(1, len(t1)),
+              i -> damerau_levenshtein(t1[i], t2[i]) <= 1),
+            x -> NOT x)) = 0) AS tokenwise_typo,
+         list_dot_product(emb_1, emb_2) /
+           (sqrt(list_dot_product(emb_1, emb_1)) * sqrt(list_dot_product(emb_2, emb_2)))
+           AS cos_sim
+  FROM (SELECT *, string_split(norm_1, ' ') AS t1, string_split(norm_2, ' ') AS t2
+        FROM ep)
+),
+escored AS (
+  SELECT *,
+         0.35 * jw + 0.2 * lev_ratio + 0.15 * tok_jaccard
+           + 0.3 * ((cos_sim + 1.0) / 2.0)
+           + CASE WHEN tok_contained THEN 0.12 ELSE 0.0 END AS score
+  FROM efeat
+),
+edecided AS (
+  SELECT *,
+         (tokenwise_typo OR (lev_ratio >= 0.85 AND jw_last >= 0.85)
+          OR (tok_contained AND jw >= 0.65) OR initial_alias
+          OR (score >= 0.82 AND jw_last >= 0.85)) AS is_match
+  FROM escored
+)
+SELECT uid1, uid2, round(jw, 6) AS jw, round(jw_last, 6) AS jw_last,
+       round(cos_sim, 6) AS cos_sim, round(score, 6) AS score, is_match
+FROM edecided
+"""
+)
+
 SQL_ER_CLUSTERS = _ER_FULL_PREFIX + "\nSELECT mention_uid, cluster_id FROM assigned"
 
 SQL_ER_ENTITIES = (
@@ -672,6 +751,24 @@ FROM events
 # Relational coverage
 # --------------------------------------------------------------------------
 
+SQL_ORDERS_SPLIT_ROUTING = r"""
+SELECT CASE WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 'trn'
+            WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 'dev'
+            ELSE 'tst' END AS split,
+       count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY 1
+"""
+
+SQL_EVENTS_TYPE_SHARE = r"""
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type
+),
+tot AS (SELECT user_id, count(*) AS total FROM events GROUP BY user_id)
+SELECT per.user_id, per.event_type, per.n,
+       round(per.n / CAST(tot.total AS DOUBLE), 6) AS share
+FROM per JOIN tot USING (user_id)
+"""
+
 SQL_TPCH_Q1 = r"""
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -758,6 +855,7 @@ ORACLES = {
     "er_blocking_minhash": SQL_ER_BLOCKING_MINHASH,
     "er_candidate_pairs": SQL_ER_CANDIDATE_PAIRS,
     "er_scored_pairs": SQL_ER_SCORED_PAIRS,
+    "er_scored_embedding": SQL_ER_SCORED_EMBEDDING,
     "er_clusters": SQL_ER_CLUSTERS,
     "er_entities": SQL_ER_ENTITIES,
     "dedup_exact": SQL_DEDUP_EXACT,
@@ -780,6 +878,8 @@ ORACLES = {
     "asof_join_events": SQL_ASOF_JOIN_EVENTS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_neighbors": SQL_EVENTS_NEIGHBORS,
+    "orders_split_routing": SQL_ORDERS_SPLIT_ROUTING,
+    "events_type_share": SQL_EVENTS_TYPE_SHARE,
     "tpch_q1": SQL_TPCH_Q1,
     "order_enrich_broadcast": SQL_ORDER_ENRICH_BROADCAST,
     "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
