@@ -61,6 +61,9 @@ def _session(cores: int, app: str) -> SparkSession:
         # partitions and parallelism never materializes
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # bigger Arrow batches amortize the per-batch numpy setup of the
+        # vectorized string-similarity UDFs over the 10^7-pair stage
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")

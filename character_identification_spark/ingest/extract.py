@@ -59,9 +59,13 @@ def extracted_pages(pages, keep_lang: str | None = "en"):
     """Stage 1: (url, warc_ts, html, text, lang) → (url, warc_ts, text, lang)
     with text re-derived from html. Projects only needed columns so the
     parquet scan prunes the heavy binary column out of later stages."""
-    out = pages.select(
+    out = pages
+    if keep_lang is not None:
+        # filter BEFORE the UDF projection: Catalyst does not push
+        # predicates through Python-eval nodes, so ordering it here is
+        # what gets the lang filter into the parquet scan (and skips the
+        # decode UDF for filtered rows entirely)
+        out = out.filter(F.col("lang") == keep_lang)
+    return out.select(
         "url", "warc_ts", extract_text(F.col("html")).alias("text"), "lang"
     )
-    if keep_lang is not None:
-        out = out.filter(F.col("lang") == keep_lang)
-    return out

@@ -161,7 +161,7 @@ def resolve_in_context(
             "cluster_id", "needs_ctx",
         ),
         "norm",
-    )
+    ).persist()  # scanned twice (easy/hard split) — one broadcast join, not two
     easy = named.filter(~F.col("needs_ctx")).drop("name_uid", "needs_ctx", "ctx")
 
     hard = named.filter(F.col("needs_ctx"))
