@@ -269,6 +269,32 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, docs)
 
 
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct word n-gram Jaccard dedup (the exact-verification family on
+    its own, no LSH prefilter): all pairs over a deterministic 1-in-5
+    sample of the augmented corpus."""
+    from character_identification_spark.operators.dedup import word_shingles
+
+    docs = _docs_aug(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    sh = docs.select(F.col("doc_id"), word_shingles("text", 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
+    b = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            (
+                F.size(F.array_intersect("sh1", "sh2"))
+                / F.size(F.array_union("sh1", "sh2")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > 0)
+        .withColumn("is_dup", F.col("jaccard") >= 0.7)
+    )
+
+
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -618,6 +644,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
     "text_stats": q_text_stats,
     "text_language_id": q_text_language_id,

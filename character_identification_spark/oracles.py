@@ -503,6 +503,28 @@ FROM (SELECT doc_id FROM docs) d LEFT JOIN comp c ON d.doc_id = c.node
 """
 )
 
+SQL_DEDUP_NGRAM_JACCARD = (
+    "WITH "
+    + _DOCS
+    + r""",
+sampled AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM sampled)
+),
+p AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         len(list_distinct(list_intersect(a.sh, b.sh))) /
+           CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id1, id2, jaccard, jaccard >= 0.7 AS is_dup FROM p WHERE jaccard > 0
+"""
+)
+
 SQL_DEDUP_EMBEDDING_PAIRS = r"""
 WITH e AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -863,6 +885,7 @@ ORACLES = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_pairs": SQL_DEDUP_EMBEDDING_PAIRS,
     "text_stats": SQL_TEXT_STATS,
     "text_language_id": SQL_TEXT_LANGUAGE_ID,

@@ -5,7 +5,8 @@ per-partition lineage table):
 
   pages ─extract→ extracted ─mentions→ mentions ─dedup→ names
         ─blocks→ block_assign ─pairs→ candidate_pairs ─scores→ scored_pairs
-        ─edges→ match_edges ─cluster+join→ assignments ─entities→ entities
+        ─split→ match_edges + alias_links ─CC+attach→ name_clusters
+        ─context-resolve→ assignments ─entities→ entities
 
 Linkage runs at the NAME level (dedup-then-link): blocking, pairing,
 scoring, and connected components operate on DISTINCT normalized name
