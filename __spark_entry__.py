@@ -39,7 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted for similarity_ann and
-    media_features, which are approximate / numpy-stub by design — the
-    driver records the weaker rows-only check for those)."""
+    """DuckDB-equivalent SQL per query — full coverage: every entry in
+    ``queries()`` has a value-level oracle (the md5-pure determinism rule
+    makes even LSH/ANN and the fake media codec exactly replayable)."""
     return dict(ORACLES)

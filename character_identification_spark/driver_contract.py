@@ -211,7 +211,11 @@ def q_er_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered = assign.select(
         "cluster_id", "norm", "surface", F.col("p_partkey").cast("string").alias("url")
     )
-    return canonical_entities(clustered)
+    ents = canonical_entities(clustered)
+    # the driver's pandas canonicalizer can't factorize array columns —
+    # join the alias set to a '|'-separated string (format-stable in both
+    # engines: norms are lowercase alnum+space)
+    return ents.withColumn("aliases", F.array_join("aliases", "|"))
 
 
 # ===========================================================================
@@ -614,8 +618,25 @@ def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(synthetic_media(spark, n=24), every_n=10)
 
 
+def _micros_str(col):
+    """array<floating> → ','-joined integer-micros string: the only float
+    presentation that is format-identical across engines (no decimal
+    rendering involved). round-then-cast so both engines round half away
+    from zero on an exact integral double."""
+    return F.array_join(
+        F.transform(
+            col,
+            lambda x: F.round(x.cast("double") * 1e6, 0).cast("long").cast("string"),
+        ),
+        ",",
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_media_features(synthetic_media(spark, n=24), decoder="fake")
+    out = extract_media_features(synthetic_media(spark, n=24), decoder="fake")
+    return out.select(
+        "media_id", "kind", "n_bytes", "digest", _micros_str("features").alias("features")
+    )
 
 
 def q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,8 +646,8 @@ def q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled = pooled_cluster_embeddings(clustered, emb_col="embedding")
     return pooled.select(
         "cluster_id",
-        F.transform("emb_mean", lambda x: F.round(x, 6)).alias("emb_mean"),
-        F.transform("emb_max", lambda x: F.round(x, 6)).alias("emb_max"),
+        _micros_str("emb_mean").alias("emb_mean"),
+        _micros_str("emb_max").alias("emb_max"),
     )
 
 

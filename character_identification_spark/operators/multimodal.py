@@ -108,11 +108,15 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 24, seed: int = 7) -> DataFrame:
-    """Deterministic fixture: binary payloads derived from md5(seed,i)."""
+    """Deterministic fixture: binary payloads derived from md5(seed,i).
+
+    The payload bytes are the ASCII hexdigest repeated (not raw digest
+    bytes) so the DuckDB oracle can recompute md5(payload) — DuckDB's md5
+    only accepts VARCHAR. The engine still treats it as opaque binary."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
-        payload = hashlib.md5(f"{seed}|{i}".encode()).digest() * (i % 5 + 1)
+        payload = hashlib.md5(f"{seed}|{i}".encode()).hexdigest().encode() * (i % 5 + 1)
         kind = kinds[i % 3]
         meta = {
             "width": 64 + i if kind == "image" else None,

@@ -7,9 +7,13 @@ double divisions are bit-identical; anything UDF- or agg-order-dependent
 is rounded to 6 dp on both sides; count-ish columns are cast so DuckDB's
 BIGINT/HUGEINT defaults match Spark's INT/LONG output types.
 
-Queries with no entry here (similarity_ann, media_features) get the
-driver's weaker rows-only check: ann recall is approximate by design and
-the media features replicate numpy byte-twiddling DuckDB can't express.
+Every query has an entry — including similarity_ann (the LSH planes are
+md5-pure, so the "approximate" search is deterministically replayable) and
+media_features (the fake-codec byte-twiddling is re-derived from the md5
+hex digest). Array-valued outputs are projected to '|'/','-joined strings
+(floats as integer micros) because the driver's pandas canonicalizer can't
+factorize list cells — and float→string rendering is the one place two
+engines disagree on formatting.
 """
 
 from __future__ import annotations
@@ -359,7 +363,7 @@ canon AS (
 ),
 stats AS (
   SELECT cluster_id, count(*) AS n_mentions, count(DISTINCT norm) AS n_aliases,
-         list_sort(list_distinct(list(norm))) AS aliases,
+         array_to_string(list_sort(list_distinct(list(norm))), '|') AS aliases,
          count(DISTINCT url) AS n_pages
   FROM clustered GROUP BY cluster_id
 )
@@ -866,9 +870,105 @@ a AS (
   FROM s GROUP BY cluster_id, slot
 )
 SELECT cluster_id,
-       list(round(mean_v, 6) ORDER BY slot) AS emb_mean,
-       list(round(max_v, 6) ORDER BY slot) AS emb_max
+       string_agg(CAST(CAST(round(mean_v * 1000000) AS BIGINT) AS VARCHAR),
+                  ',' ORDER BY slot) AS emb_mean,
+       string_agg(CAST(CAST(round(max_v * 1000000) AS BIGINT) AS VARCHAR),
+                  ',' ORDER BY slot) AS emb_max
 FROM a GROUP BY cluster_id
+"""
+
+
+def _dd_media_feature(d: int) -> str:
+    """DuckDB twin of multimodal._fake_decode feature d (little-endian u4
+    at byte offset 4d of the repeated digest → float32 → integer micros)."""
+    j = (4 * d) % 16  # the 64-byte window is the 16-byte digest repeated 4x
+    hexpairs = " || ".join(f"substr(hx, {2 * (j + k) + 1}, 2)" for k in (3, 2, 1, 0))
+    u4 = f"CAST(CAST('0x' || {hexpairs} AS UBIGINT) AS BIGINT)"
+    return (
+        f"CAST(round(CAST(CAST({u4} / 4294967296.0 AS REAL) AS DOUBLE)"
+        " * 1000000) AS BIGINT)"
+    )
+
+
+# mirrors multimodal.synthetic_media(n=24, seed=7): payload = ascii hexdigest
+# of md5('7|i') repeated (i%5+1) times; features = _fake_decode(payload)
+SQL_MEDIA_FEATURES = (
+    r"""
+WITH base AS (
+  SELECT CAST(i AS BIGINT) AS media_id,
+         CASE CAST(i AS INTEGER) % 3 WHEN 0 THEN 'image'
+                                     WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(i AS INTEGER) % 5 + 1 AS reps,
+         md5('7|' || CAST(i AS VARCHAR)) AS ph
+  FROM range(0, 24) t(i)
+),
+d AS (
+  SELECT media_id, kind, CAST(32 * reps AS INTEGER) AS n_bytes,
+         md5(repeat(ph, reps)) AS hx
+  FROM base
+)
+SELECT media_id, kind, n_bytes, hx AS digest,
+       array_to_string(["""
+    + ", ".join(f"CAST({_dd_media_feature(d)} AS VARCHAR)" for d in range(16))
+    + r"""], ',') AS features
+FROM d
+"""
+)
+
+
+def _dd_table_bucket(t: int, n_planes: int = 6) -> str:
+    """DuckDB twin of similarity.ann_topk's per-table bucket string
+    ('t<t>:' + sign bits over planes t*n_planes .. t*n_planes+n_planes-1)."""
+    bits = []
+    for p in range(n_planes):
+        plane = t * n_planes + p
+        h = (
+            f"CAST(CAST('0x' || substr(md5('{plane}|' || CAST(i - 1 AS VARCHAR)), 1, 15)"
+            " AS UBIGINT) AS BIGINT)"
+        )
+        dot = (
+            "list_sum(list_transform(generate_series(1, len(v)), "
+            f"i -> v[i] * (({h} / 576460752303423488.0) - 1.0)))"
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return f"'t{t}:' || CAST({' + '.join(bits)} AS VARCHAR)"
+
+
+# exact twin of ann_topk(k=10, n_planes=6, n_tables=2): the hyperplanes are
+# md5-pure, so "approximate" ANN is still deterministically replayable
+SQL_SIMILARITY_ANN = f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+cb AS (
+  SELECT vec_id AS neighbor_id, {_dd_table_bucket(0)} AS bucket FROM e
+  UNION ALL
+  SELECT vec_id AS neighbor_id, {_dd_table_bucket(1)} AS bucket FROM e
+),
+qb AS (
+  SELECT vec_id AS query_id, {_dd_table_bucket(0)} AS bucket FROM e WHERE vec_id < 8
+  UNION ALL
+  SELECT vec_id AS query_id, {_dd_table_bucket(1)} AS bucket FROM e WHERE vec_id < 8
+),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM cb JOIN qb USING (bucket)
+  WHERE neighbor_id <> query_id
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(c.v, q.v) /
+           (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v)))
+           AS cos_sim
+  FROM cand JOIN e c ON cand.neighbor_id = c.vec_id
+            JOIN e q ON cand.query_id = q.vec_id
+)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+FROM s
+QUALIFY rank <= 10
 """
 
 ORACLES = {
@@ -892,7 +992,7 @@ ORACLES = {
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
     "similarity_topk": SQL_SIMILARITY_TOPK,
-    # similarity_ann: no oracle (approximate by design) → rows-only check
+    "similarity_ann": SQL_SIMILARITY_ANN,
     "similarity_lsh_buckets": SQL_SIMILARITY_LSH_BUCKETS,
     "eval_bcubed": SQL_EVAL_BCUBED,
     "events_json_props": SQL_EVENTS_JSON_PROPS,
@@ -908,6 +1008,6 @@ ORACLES = {
     "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
     "cust_no_orders": SQL_CUST_NO_ORDERS,
     "media_frame_plan": SQL_MEDIA_FRAME_PLAN,
-    # media_features: no oracle (numpy byte-level decode stub) → rows-only
+    "media_features": SQL_MEDIA_FEATURES,
     "cluster_embeddings": SQL_CLUSTER_EMBEDDINGS,
 }
