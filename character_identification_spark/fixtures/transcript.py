@@ -205,6 +205,7 @@ def transcript_gold_mentions(utterances: DataFrame) -> DataFrame:
         )
         .select(
             "url",
+            "utterance_id",
             "mention_uid",
             "mention_idx",
             "utt_idx",

@@ -1,0 +1,87 @@
+"""Deterministic linguistic lexicons: pronoun classes + given-name gender.
+
+The reference's feature set includes speaker features, gender-distribution
+counts loaded from an external resource, and an animacy dictionary
+(reference: latest/model/features.py:58-62 context windows,
+latest/system.py:120-128 resource loads; C7/C8 in SURVEY.md §2). The
+engine's analog keeps the same shape — small public-knowledge lexicons
+compiled into broadcast-friendly literal arrays, consumed by JVM-side
+expressions (no UDFs):
+
+  * pronoun classes (first/second/third-masc/third-fem/plural) — closed
+    English word classes;
+  * given-name → gender lists — the top of the public US-census-style
+    common-given-names distribution, the standard resource behind every
+    rule-based coreference gender dictionary.
+
+Everything is a pure function of the input string, so any oracle can
+recompute it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# closed pronoun classes (lower-cased, post-norm_text)
+FIRST_PERSON = ("i", "me", "my", "myself", "mine")
+SECOND_PERSON = ("you", "your", "yourself", "yours", "ya")
+THIRD_MASC = ("he", "him", "his", "himself")
+THIRD_FEM = ("she", "her", "hers", "herself")
+FIRST_PLURAL = ("we", "us", "our", "ours", "ourselves")
+
+# common English given names (public knowledge — census-style frequency
+# lists); used ONLY to derive an m/f hint for a label's first token.
+MALE_NAMES = (
+    "james john robert michael william david richard joseph thomas charles "
+    "christopher daniel matthew anthony mark donald steven paul andrew joshua "
+    "kenneth kevin brian george edward ronald timothy jason jeffrey ryan jacob "
+    "gary nicholas eric jonathan stephen larry justin scott brandon benjamin "
+    "samuel gregory frank alexander raymond patrick jack dennis jerry tyler "
+    "aaron jose adam henry nathan douglas zachary peter kyle walter ethan "
+    "jeremy harold carl keith roger gerald arthur terry sean austin noah "
+    "lawrence jesse joe bruce billy jordan ralph roy eugene randy vincent "
+    "russell elijah louis bobby philip johnny bradley dale howard fred curtis "
+    "todd marcus glenn travis jeff chad jimmy victor cory ross joey chandler "
+    "barry mike tom tony steve dan dave rick rob bob jim ted eddie gunther "
+    "duncan tommy max sid paolo julio ben mr dr"
+).split()
+FEMALE_NAMES = (
+    "mary patricia jennifer linda elizabeth barbara susan jessica sarah karen "
+    "nancy lisa betty margaret sandra ashley kimberly emily donna michelle "
+    "dorothy carol amanda melissa deborah stephanie rebecca sharon laura "
+    "cynthia kathleen amy shirley angela helen anna brenda pamela nicole emma "
+    "samantha katherine christine debra rachel catherine carolyn janet ruth "
+    "maria heather diane virginia julie joyce victoria olivia kelly christina "
+    "lauren joan evelyn judith megan cheryl andrea hannah martha jacqueline "
+    "frances gloria ann teresa kathryn sara janice jean alice madison doris "
+    "abigail julia judy grace denise amber marilyn danielle rose brittany "
+    "diana natalie sophia alexis lori kayla jane monica phoebe mindy joanna "
+    "kate erica mrs ms aunt mom"
+).split()
+
+# names on both lists carry no signal
+_AMBIG = set(MALE_NAMES) & set(FEMALE_NAMES)
+_MALE_ONLY = sorted(set(MALE_NAMES) - _AMBIG)
+_FEMALE_ONLY = sorted(set(FEMALE_NAMES) - _AMBIG)
+
+
+def pronoun_class(norm_col: Column | str = "norm") -> Column:
+    """'p1' | 'p2' | 'p3m' | 'p3f' | 'ppl' | null for a normalized token."""
+    c = F.col(norm_col) if isinstance(norm_col, str) else norm_col
+    return (
+        F.when(c.isin(*FIRST_PERSON), "p1")
+        .when(c.isin(*SECOND_PERSON), "p2")
+        .when(c.isin(*THIRD_MASC), "p3m")
+        .when(c.isin(*THIRD_FEM), "p3f")
+        .when(c.isin(*FIRST_PLURAL), "ppl")
+    )
+
+
+def label_gender(label_col: Column | str) -> Column:
+    """'m' | 'f' | null from the first token of a normalized label."""
+    c = F.col(label_col) if isinstance(label_col, str) else label_col
+    first = F.element_at(F.split(c, " "), 1)
+    return F.when(first.isin(*_MALE_ONLY), "m").when(
+        first.isin(*_FEMALE_ONLY), "f"
+    )

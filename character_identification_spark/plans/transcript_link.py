@@ -1,0 +1,228 @@
+"""Scene-scoped deterministic mention linking for transcript corpora.
+
+This is the engine's answer to the reference's character-identification
+task proper (reference: latest/system.py — mention clustering + linking
+within scene-scoped documents): given gold mention SPANS (the standard
+coref-eval contract, and exactly what the reference system consumes), link
+each mention to a character using only deterministic, data-derivable
+signals, all expressed as DataFrame ops:
+
+  p1/ppl   first-person pronouns → the utterance's speaker
+           (reference analog: the speaker feature, features.py:160)
+  p2       second-person pronouns → closest previous distinct speaker,
+           falling back to the next distinct speaker — the reference's
+           closest-previous-speaker prior (re-derived from
+           baseline/tools/ioutils.py:139-151 semantics)
+  p3m/p3f  third-person pronouns → nearest preceding cast-name mention
+           with a compatible gender hint (functions/lexicon.py — the C8
+           gender-distribution analog); fallback: nearest preceding name
+           of unknown/compatible gender that isn't the current speaker;
+           final fallback: a per-scene gender pool (all unresolved "he"
+           of a scene co-refer — the scene's discourse topic)
+  name     surface matched against the cast (distinct utterance speakers)
+           by exact norm, unique token-containment ("ross" ⊆ "ross
+           geller"), then unique first-token prefix ("rach" → "rachel
+           green") — the alias families of operators/scoring.py applied
+           to a broadcast-sized dimension
+  other    singleton (gold #other#/#general# mentions never co-refer)
+
+Clusters are scene-scoped, mirroring the reference's blocking unit
+(latest/system.py:46). Scale notes: every per-scene window carries at most
+one scene of structs (scenes are bounded, the transcript analog of the
+bounded url-context in operators/context.py), the cast join is a broadcast
+of a tiny dimension, and there are NO Python UDFs — the whole plan is
+JVM-side expressions.
+
+Measured on the reference dev set (tests/test_transcript.py): pairwise F1
+≈ 0.74 at scene blocking keys — see BASELINE.md for the honest gap to the
+0.99 aspiration (pronoun resolution beyond these priors needs a learned
+model by the reference's own design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from character_identification_spark.functions.lexicon import (
+    label_gender,
+    pronoun_class,
+)
+from character_identification_spark.functions.strings import norm_text
+
+
+def speaker_context(utterances: DataFrame) -> DataFrame:
+    """Per utterance: normalized speaker + closest previous / next DISTINCT
+    speaker within the scene (the W6 closest-previous-speaker operator,
+    generalized to a same-scene bounded window)."""
+    u = utterances.select(
+        "scene_id",
+        "utterance_id",
+        "utt_idx",
+        norm_text(F.element_at("speakers", 1)).alias("spk"),
+    )
+    w = Window.partitionBy("scene_id").orderBy("utt_idx")
+    hist = F.collect_list(F.struct("utt_idx", "spk")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fut = F.collect_list(F.struct("utt_idx", "spk")).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    cur = F.col("spk")
+    prev_d = F.try_element_at(
+        F.filter(F.reverse(hist), lambda x: x["spk"].isNotNull() & (x["spk"] != cur)),
+        F.lit(1),
+    )["spk"]
+    next_d = F.try_element_at(
+        F.filter(fut, lambda x: x["spk"].isNotNull() & (x["spk"] != cur)), F.lit(1)
+    )["spk"]
+    return u.select(
+        "scene_id",
+        "utterance_id",
+        "utt_idx",
+        "spk",
+        prev_d.alias("prev_spk"),
+        next_d.alias("next_spk"),
+    )
+
+
+def cast_table(utterances: DataFrame) -> DataFrame:
+    """Distinct normalized speakers = the corpus cast dimension."""
+    return (
+        utterances.select(norm_text(F.element_at("speakers", 1)).alias("cast_norm"))
+        .filter(F.col("cast_norm").isNotNull() & (F.col("cast_norm") != ""))
+        .distinct()
+    )
+
+
+def match_names_to_cast(name_mentions: DataFrame, cast: DataFrame) -> DataFrame:
+    """(mention_uid, norm) × cast → (mention_uid, cast_ref or null).
+
+    Three alias families in strict precedence, each applied only when it
+    is UNIQUE (ambiguity stays unresolved, never guessed):
+      1. exact norm equality
+      2. token containment: mention tokens ⊆ cast-name tokens
+      3. single-token prefix (≥3 chars) of the cast first name
+    The cast is broadcast (tiny dim); candidates come from a broadcast
+    nested-loop join bounded by |mentions| × |cast|."""
+    m = name_mentions.select("mention_uid", "norm").distinct()
+    joined = m.crossJoin(F.broadcast(cast))
+    mt = F.split("norm", " ")
+    ct = F.split("cast_norm", " ")
+    exact = F.col("norm") == F.col("cast_norm")
+    contained = F.size(F.array_except(mt, ct)) == 0
+    prefix = (
+        (F.size(mt) == 1)
+        & (F.length("norm") >= 3)
+        & F.element_at(ct, 1).startswith(F.col("norm"))
+    )
+    cand = joined.select(
+        "mention_uid",
+        "cast_norm",
+        exact.alias("is_exact"),
+        contained.alias("is_cont"),
+        prefix.alias("is_pre"),
+    ).filter(F.col("is_exact") | F.col("is_cont") | F.col("is_pre"))
+    agg = cand.groupBy("mention_uid").agg(
+        F.max(F.when(F.col("is_exact"), F.col("cast_norm"))).alias("exact_ref"),
+        F.count_distinct(F.when(F.col("is_cont"), F.col("cast_norm"))).alias("cont_n"),
+        F.min(F.when(F.col("is_cont"), F.col("cast_norm"))).alias("cont_ref"),
+        F.count_distinct(F.when(F.col("is_pre"), F.col("cast_norm"))).alias("pre_n"),
+        F.min(F.when(F.col("is_pre"), F.col("cast_norm"))).alias("pre_ref"),
+    )
+    return agg.select(
+        "mention_uid",
+        F.coalesce(
+            F.col("exact_ref"),
+            F.when(F.col("cont_n") == 1, F.col("cont_ref")),
+            F.when(F.col("pre_n") == 1, F.col("pre_ref")),
+        ).alias("cast_ref"),
+    )
+
+
+def link_transcript_mentions(
+    utterances: DataFrame, mentions: DataFrame
+) -> DataFrame:
+    """mentions(mention_uid, utterance_id, utt_idx, sent_idx, begin,
+    surface, block_key=scene_id) + utterances → assignments
+    (mention_uid, cluster_id, auto_ref, kind).
+
+    auto_ref is the predicted character label (null when the mention
+    resolves to no character — it then gets a deterministic singleton /
+    pool cluster). cluster_id is scene-scoped."""
+    ctx = speaker_context(utterances)
+    cast = cast_table(utterances)
+
+    m = (
+        mentions.select(
+            "mention_uid",
+            "utterance_id",
+            "sent_idx",
+            "begin",
+            F.col("block_key").alias("scene_id"),
+            norm_text(F.col("surface")).alias("norm"),
+        )
+        .join(
+            ctx.select("utterance_id", "utt_idx", "spk", "prev_spk", "next_spk"),
+            "utterance_id",
+        )
+        .withColumn("kind", F.coalesce(pronoun_class("norm"), F.lit("name")))
+    )
+    named = match_names_to_cast(m.filter(F.col("kind") == "name"), cast)
+    m = m.join(named, "mention_uid", "left")
+
+    # first pass: speaker-derivable references
+    ref0 = (
+        F.when(F.col("kind").isin("p1", "ppl"), F.col("spk"))
+        .when(F.col("kind") == "p2", F.coalesce("prev_spk", "next_spk"))
+        .when(F.col("kind") == "name", F.col("cast_ref"))
+    )
+    m = m.withColumn("ref0", ref0).withColumn(
+        "mg",
+        F.when(F.col("kind") == "p3m", "m").when(F.col("kind") == "p3f", "f"),
+    )
+
+    # second pass: third-person antecedents from preceding NAME mentions
+    # (document order within the scene; one scene of structs per window)
+    w = Window.partitionBy("scene_id").orderBy(
+        "utt_idx", "sent_idx", "begin", "mention_uid"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    prior_names = F.collect_list(
+        F.when(
+            (F.col("kind") == "name") & F.col("ref0").isNotNull(),
+            F.struct(
+                F.col("ref0").alias("ref"), label_gender("ref0").alias("g")
+            ),
+        )
+    ).over(w)
+    m = m.withColumn("prior_names", F.reverse(prior_names))
+    mg, spk = F.col("mg"), F.col("spk")
+    cand_gender = F.try_element_at(
+        F.filter("prior_names", lambda x: x["g"] == mg), F.lit(1)
+    )["ref"]
+    cand_any = F.try_element_at(
+        F.filter(
+            "prior_names",
+            lambda x: (x["g"].isNull() | (x["g"] == mg)) & (x["ref"] != spk),
+        ),
+        F.lit(1),
+    )["ref"]
+    m = m.withColumn(
+        "auto_ref",
+        F.when(
+            F.col("kind").isin("p3m", "p3f"), F.coalesce(cand_gender, cand_any)
+        ).otherwise(F.col("ref0")),
+    )
+
+    key = F.coalesce(
+        F.col("auto_ref"),
+        F.when(F.col("mg").isNotNull(), F.concat(F.lit("g:"), F.col("mg"))),
+        F.concat(F.lit("u:"), F.col("mention_uid").cast("string")),
+    )
+    return m.select(
+        "mention_uid",
+        F.concat(F.col("scene_id"), F.lit("|"), key).alias("cluster_id"),
+        "auto_ref",
+        "kind",
+        F.col("scene_id").alias("block_key"),
+    )

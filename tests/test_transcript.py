@@ -1,0 +1,174 @@
+"""The Friends-transcript eval harness — the north-rule quality oracle run
+on the REAL reference corpus (/root/reference/json/*.json), not synthetic
+fixtures. Executes the adapter (SURVEY §2 S1-S4, F1-F3), the scene-scoped
+deterministic linker, and the full evaluator suite; the committed
+measurements live in BASELINE.md.
+
+Honest gate: pairwise F1 ≥ 0.73 on dev (measured 0.7383) — far below the
+0.99 aspiration, because ~60% of real mentions are pronouns and "he"/"you"
+resolution beyond speaker priors needs the reference's learned model.
+Precision stays ≥ 0.85: the deterministic rules rarely over-merge.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from character_identification_spark.evaluation.coref import (
+    blanc,
+    ceaf_e,
+    hungarian_max,
+    linking_macro_f1,
+)
+from character_identification_spark.evaluation.pairf1 import (
+    gold_pairs_from_mentions,
+    pairwise_f1,
+)
+from character_identification_spark.fixtures.transcript import (
+    read_transcript_utterances,
+    transcript_gold_mentions,
+)
+from character_identification_spark.plans.transcript_link import (
+    link_transcript_mentions,
+    match_names_to_cast,
+    speaker_context,
+)
+
+DEV_JSON = "/root/reference/json/character-identification-dev.json"
+
+needs_ref = pytest.mark.skipif(
+    not os.path.exists(DEV_JSON), reason="reference corpus not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def dev(spark):
+    utt = read_transcript_utterances(spark, DEV_JSON)
+    gold = transcript_gold_mentions(utt).cache()
+    gold.count()
+    return utt, gold
+
+
+@needs_ref
+def test_adapter_parses_reference_schema(dev):
+    utt, gold = dev
+    assert utt.count() == 2142  # dev utterances
+    assert gold.count() == 3932  # dev mentions after Non-Entity filter
+    assert gold.filter("plural").count() == 415
+    # plural coarsening: every plural label is either #other# or a label
+    # that appears on some singular mention of the same scene
+    sing = (
+        gold.filter(~F.col("plural"))
+        .select("block_key", F.explode("gold_refs").alias("l"))
+        .distinct()
+    )
+    plur = (
+        gold.filter("plural")
+        .select("block_key", F.explode("gold_refs").alias("l"))
+        .filter(F.col("l") != "#other#")
+        .distinct()
+    )
+    assert plur.join(sing, ["block_key", "l"], "left_anti").count() == 0
+
+
+@needs_ref
+def test_speaker_context_windows(dev):
+    utt, _ = dev
+    ctx = speaker_context(utt).filter(F.col("scene_id") == "s01_e20_c01")
+    rows = {r["utt_idx"]: r for r in ctx.collect()}
+    # first utterance has no previous distinct speaker
+    assert rows[0]["prev_spk"] is None
+    assert rows[0]["next_spk"] is not None
+    # alternating dialogue: prev distinct speaker differs from own
+    for r in rows.values():
+        if r["prev_spk"] is not None:
+            assert r["prev_spk"] != r["spk"]
+
+
+@needs_ref
+def test_name_matching_families(spark, dev):
+    utt, _ = dev
+    from character_identification_spark.plans.transcript_link import cast_table
+
+    cast = cast_table(utt)
+    probe = spark.createDataFrame(
+        [(1, "ross geller"), (2, "ross"), (3, "rach"), (4, "geller"), (5, "xqzt")],
+        "mention_uid long, norm string",
+    )
+    got = {r["mention_uid"]: r["cast_ref"] for r in
+           match_names_to_cast(probe, cast).collect()}
+    assert got[1] == "ross geller"  # exact
+    assert got[2] == "ross geller"  # unique containment
+    assert got[3] == "rachel green"  # unique first-token prefix
+    assert got.get(4) is None  # ambiguous containment (two gellers)
+    assert 5 not in got or got[5] is None  # no family fires
+
+
+@needs_ref
+def test_dev_harness_pairwise_gate(dev):
+    utt, gold = dev
+    assign = link_transcript_mentions(utt, gold)
+    ev = pairwise_f1(assign, gold_pairs_from_mentions(gold))
+    assert ev["precision"] >= 0.85
+    assert ev["f1"] >= 0.73  # measured 0.7383 — see BASELINE.md
+
+
+@needs_ref
+def test_dev_full_evaluator_suite(dev):
+    utt, gold = dev
+    assign = link_transcript_mentions(utt, gold).cache()
+    gp = gold_pairs_from_mentions(gold)
+    bl = blanc(assign, gp)
+    # the coreferent cell of Blanc IS pairwise F1 — same confusion cell
+    pw = pairwise_f1(assign, gp)
+    assert abs(bl["f_coref"] - pw["f1"]) < 1e-9
+    assert bl["f1"] >= 0.80  # measured 0.818
+    ce = ceaf_e(assign, gold)
+    assert 0.55 <= ce["f1"] <= 1.0  # measured 0.629
+    mac = linking_macro_f1(assign, gold)
+    assert mac["f1"] >= 0.70  # measured 0.724
+    assign.unpersist()
+
+
+@needs_ref
+def test_ceaf_perfect_on_gold_replay(spark, dev):
+    """CEAF-e must be exactly 1.0 when auto == gold clusters (replay the
+    singular gold as assignments)."""
+    _, gold = dev
+    from character_identification_spark.evaluation.pairf1 import AMBIGUOUS
+
+    lbl = F.element_at("gold_refs", 1)
+    sing = gold.filter(~F.col("plural")).select(
+        "mention_uid",
+        "block_key",
+        F.concat(
+            "block_key",
+            F.lit("|"),
+            # ambiguous labels never co-refer — singleton per mention,
+            # mirroring _gold_cluster_rows
+            F.when(
+                lbl.isin(*AMBIGUOUS), F.col("mention_uid").cast("string")
+            ).otherwise(lbl),
+        ).alias("cluster_id"),
+    )
+    sing_gold = gold.filter(~F.col("plural"))
+    ce = ceaf_e(sing, sing_gold)
+    assert abs(ce["f1"] - 1.0) < 1e-9
+
+
+def test_hungarian_matches_brute_force():
+    rng = np.random.default_rng(7)
+    for _ in range(60):
+        n, m = int(rng.integers(1, 5)), int(rng.integers(1, 5))
+        s = rng.random((n, m))
+        k = min(n, m)
+        best = 0.0
+        for rsub in itertools.permutations(range(n), k):
+            for csub in itertools.permutations(range(m), k):
+                best = max(best, sum(s[rsub[i], csub[i]] for i in range(k)))
+        assert abs(hungarian_max(s) - best) < 1e-9
