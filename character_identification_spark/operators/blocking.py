@@ -39,6 +39,13 @@ def sortkey_blocks(
     """(mention_uid, norm) → (mention_uid, block_key) for prefix + phonetic
     keys. Cheap families catch typo'd tails and spelling variants;
     ``families`` selects which key families to emit."""
+    known = {"prefix", "soundex", "init_last"}
+    unknown = set(families) - known
+    if unknown or not families:
+        raise ValueError(
+            f"sortkey_blocks families must be a non-empty subset of "
+            f"{sorted(known)}; got {families!r}"
+        )
     parts = []
     if "prefix" in families:
         parts.append(

@@ -71,11 +71,18 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
     checkpoint_every: int = 1,
+    converge_check_every: int = 1,
 ) -> DataFrame:
-    """edges(u long, v long) → assignments(node long, component long)
-    where component is the minimum node id in the component. Nodes that
-    appear in no edge are absent (caller unions singletons; see
-    attach_singletons)."""
+    """edges(u, v) → assignments(node, component) where component is the
+    minimum node id in the component (ids may be longs or strings — only
+    ordering and equality are used). Nodes that appear in no edge are
+    absent (caller unions singletons; see attach_singletons).
+
+    ``converge_check_every`` > 1 skips the edge-set-signature job on
+    intermediate rounds: CC typically converges in 3-5 rounds, and each
+    signature check is a full scan of the current edge set — checking
+    every 2nd round trades at most one extra (cheap, already-shrunken)
+    star round for half the convergence scans."""
     cur = (
         edges.select(F.col("u"), F.col("v"))
         .filter(F.col("u") != F.col("v"))
@@ -87,6 +94,8 @@ def connected_components(
         cur = _small_star(_large_star(cur))
         if checkpoint_every and (i % checkpoint_every == 0):
             cur = cur.localCheckpoint(eager=True)
+        if (i + 1) % converge_check_every and i + 1 < max_iter:
+            continue
         # edge-set signature: count + XOR of row hashes (overflow-free under
         # ANSI mode; edges are distinct so XOR is a valid set digest)
         sig = cur.agg(

@@ -49,27 +49,38 @@ def url_context(url_col: Column | str = "url") -> Column:
     return F.regexp_extract(c, r"^(.*/)", 1)
 
 
-def split_name_edges(scored: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """scored pairs (uid1, uid2, norm_1, norm_2, is_match) →
-    (safe_edges(u, v), amb_links(amb_uid, anchor_uid)).
+def name_edge_table(scored: DataFrame, threshold: float | None = None) -> DataFrame:
+    """scored pairs (uid1, uid2, norm_1, norm_2, is_match) → one table
+    (role, a, b) splitting matches into:
 
-    safe: both sides unambiguous — drives global CC.
-    amb_links: exactly one side ambiguous — candidate attachments.
-    (ambiguous↔ambiguous matches are dropped: two fragments carry no
-    linking evidence of their own.)
-    """
+      role='safe'  both sides unambiguous AND the match is strong —
+                   (a, b) = (u, v), drives global CC.
+      role='amb'   candidate attachment — (a, b) = (amb_uid, anchor_uid):
+                   exactly one side ambiguous, or an unambiguous pair
+                   whose only evidence is one-way token containment
+                   ("john smith" ⊆ "john smith jr" is alias evidence, not
+                   identity evidence — global fusing through it recreates
+                   the hub problem one level up; same-token-set matches,
+                   i.e. reordered names, stay safe).
+
+    Ambiguous↔ambiguous matches are dropped: two fragments carry no
+    linking evidence of their own. ONE pass over scored — the pipeline
+    checkpoints this single table and filters per role.
+
+    ``threshold`` is the same blend cutoff score_pairs used (shared
+    DEFAULT_THRESHOLD when None), so a recalibrated scorer keeps its
+    blend-rule matches on the safe side."""
+    from character_identification_spark.operators.scoring import DEFAULT_THRESHOLD
+
+    thr = DEFAULT_THRESHOLD if threshold is None else threshold
     t1, t2 = F.split("norm_1", " "), F.split("norm_2", " ")
     sub_1 = F.size(F.array_except(t1, t2)) == 0  # norm_1's tokens ⊆ norm_2's
     sub_2 = F.size(F.array_except(t2, t1)) == 0
-    # a match explained ONLY by token containment ("john smith" ⊆ "john
-    # smith jr") is alias evidence, not identity evidence — global fusing
-    # through it recreates the hub problem one level up. Same-token-set
-    # matches (reordered names) stay safe.
     strong = (
         F.col("tokenwise_typo")
         | ((F.col("lev_ratio") >= 0.85) & (F.col("jw_last") >= 0.85))
         | F.col("initial_alias")
-        | ((F.col("score") >= 0.82) & (F.col("jw_last") >= 0.85))
+        | ((F.col("score") >= thr) & (F.col("jw_last") >= 0.85))
         | (sub_1 & sub_2)
     )
     m = scored.filter(F.col("is_match")).select(
@@ -79,20 +90,38 @@ def split_name_edges(scored: DataFrame) -> tuple[DataFrame, DataFrame]:
         strong.alias("strong"),
         sub_1.alias("sub_1"),
     )
-    safe = m.filter(~F.col("a1") & ~F.col("a2") & F.col("strong")).select(
-        F.col("uid1").alias("u"), F.col("uid2").alias("v")
+    role = (
+        F.when(~F.col("a1") & ~F.col("a2") & F.col("strong"), "safe")
+        .when(F.col("a1") != F.col("a2"), "amb")
+        .when(~F.col("a1") & ~F.col("a2") & ~F.col("strong"), "amb")
     )
-    amb_by_flag = m.filter(F.col("a1") != F.col("a2")).select(
-        F.when(F.col("a1"), F.col("uid1")).otherwise(F.col("uid2")).alias("amb_uid"),
-        F.when(F.col("a1"), F.col("uid2")).otherwise(F.col("uid1")).alias("anchor_uid"),
+    amb_first = F.when(F.col("a1") != F.col("a2"), F.col("a1")).otherwise(
+        F.col("sub_1")
     )
-    amb_by_containment = m.filter(
-        ~F.col("a1") & ~F.col("a2") & ~F.col("strong")
-    ).select(
-        F.when(F.col("sub_1"), F.col("uid1")).otherwise(F.col("uid2")).alias("amb_uid"),
-        F.when(F.col("sub_1"), F.col("uid2")).otherwise(F.col("uid1")).alias("anchor_uid"),
+    return m.select(
+        role.alias("role"),
+        F.when((role == "amb") & ~amb_first, F.col("uid2"))
+        .otherwise(F.col("uid1"))
+        .alias("a"),
+        F.when((role == "amb") & ~amb_first, F.col("uid1"))
+        .otherwise(F.col("uid2"))
+        .alias("b"),
+    ).filter(F.col("role").isNotNull())
+
+
+def split_name_edges(
+    scored: DataFrame, threshold: float | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Two-view form of name_edge_table:
+    (safe_edges(u, v), amb_links(amb_uid, anchor_uid))."""
+    t = name_edge_table(scored, threshold)
+    safe = t.filter(F.col("role") == "safe").select(
+        F.col("a").alias("u"), F.col("b").alias("v")
     )
-    return safe, amb_by_flag.unionByName(amb_by_containment)
+    amb = t.filter(F.col("role") == "amb").select(
+        F.col("a").alias("amb_uid"), F.col("b").alias("anchor_uid")
+    )
+    return safe, amb
 
 
 def name_cluster_table(
@@ -145,6 +174,7 @@ def resolve_in_context(
     name_clusters: DataFrame,
     amb_links: DataFrame,
     max_anchors_per_ctx: int = 10000,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """mentions(mention_uid, url, norm, …) × name tables → assignments
     (mentions + cluster_id).
@@ -162,6 +192,11 @@ def resolve_in_context(
         ),
         "norm",
     ).persist()  # scanned twice (easy/hard split) — one broadcast join, not two
+    # the cache is needed until the returned union is materialized; callers
+    # that run many pipelines in one session pass cache_registry and
+    # unpersist after their first action (plans/pipeline.py does)
+    if cache_registry is not None:
+        cache_registry.append(named)
     easy = named.filter(~F.col("needs_ctx")).drop("name_uid", "needs_ctx", "ctx")
 
     hard = named.filter(F.col("needs_ctx"))

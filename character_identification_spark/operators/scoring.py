@@ -45,7 +45,10 @@ def score_pairs(
     if dedup_strings and not with_embeddings:
         uniq = pairs.select("norm_1", "norm_2").distinct()
         feats = _score_strings(uniq, threshold)
-        return pairs.join(feats, ["norm_1", "norm_2"])
+        # left join: a pair with a NULL norm keeps its row (null features,
+        # is_match null→false downstream) — same behavior as the direct
+        # path instead of silently dropping it in the inner join
+        return pairs.join(feats, ["norm_1", "norm_2"], "left")
     return _score_strings(pairs, threshold, with_embeddings)
 
 

@@ -5,8 +5,9 @@ per-partition lineage table):
 
   pages ─extract→ extracted ─mentions→ mentions ─dedup→ names
         ─blocks→ block_assign ─pairs→ candidate_pairs ─scores→ scored_pairs
-        ─split→ match_edges + alias_links ─CC+attach→ name_clusters
-        ─context-resolve→ assignments ─entities→ entities
+        ─split→ edge_split (one table, role = safe|amb)
+        ─CC+attach→ name_clusters ─context-resolve→ assignments
+        ─entities→ entities
 
 Linkage runs at the NAME level (dedup-then-link): blocking, pairing,
 scoring, and connected components operate on DISTINCT normalized name
@@ -44,7 +45,7 @@ from character_identification_spark.evaluation.pairf1 import (
     gold_pairs_from_mentions,
     pairwise_f1,
 )
-from character_identification_spark.functions.hashing import h_long
+from character_identification_spark.functions.hashing import h_hex
 from character_identification_spark.ingest.extract import extracted_pages
 from character_identification_spark.ingest.mentions import extract_mentions
 from character_identification_spark.operators.blocking import assign_blocks
@@ -52,8 +53,8 @@ from character_identification_spark.operators.canonicalize import canonical_enti
 from character_identification_spark.operators.cc import connected_components
 from character_identification_spark.operators.context import (
     name_cluster_table,
+    name_edge_table,
     resolve_in_context,
-    split_name_edges,
 )
 from character_identification_spark.operators.pairs import generate_pairs
 from character_identification_spark.operators.scoring import score_pairs
@@ -83,12 +84,20 @@ def _run_stage(store: StageStore, name: str, inputs: list[str], build, cfg: Pipe
     df = build()
     store.write(df, name, tuple(cfg.partition_by.get(name, ())))
     out = store.read(name)
-    wall = time.monotonic() - t0
-    lineage = out.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+    # ONE scan of the committed table: the per-partition lineage aggregate
+    # is collected (tiny — one row per partition) and both the lineage
+    # table and the stage row count derive from it, instead of three
+    # separate scans (lineage write, count, downstream read all re-reading)
+    lin = out.groupBy(F.spark_partition_id().alias("partition_id")).agg(
         F.count("*").alias("rows")
-    ).withColumn("stage", F.lit(name))
-    store.append(lineage.select("stage", "partition_id", "rows"), "_meta_lineage")
-    n = out.count()
+    ).collect()
+    wall = time.monotonic() - t0
+    lineage = spark.createDataFrame(
+        [(name, int(r["partition_id"]), int(r["rows"])) for r in lin],
+        "stage string, partition_id int, rows long",
+    )
+    store.append(lineage, "_meta_lineage")
+    n = sum(r["rows"] for r in lin)
     metrics = spark.createDataFrame(
         [(name, n, float(wall), ",".join(inputs))],
         "stage string, rows long, wall_s double, inputs string",
@@ -119,9 +128,12 @@ def run_pipeline(
         store,
         "names",
         ["mentions"],
+        # full 32-hex md5 as the name key: a 60-bit prefix has ~0.4
+        # birthday-collision probability at the 10^9-name vocabularies the
+        # docs target; 128 bits is collision-free for any realistic corpus
         lambda: mentions.select("norm")
         .distinct()
-        .withColumn("mention_uid", h_long(F.col("norm"))),
+        .withColumn("mention_uid", h_hex(F.col("norm"), 32)),
         cfg,
     )
     blocks = _run_stage(
@@ -156,39 +168,46 @@ def run_pipeline(
     )
     # global CC runs only over unambiguous↔unambiguous matches; matches
     # with one ambiguous side become candidate attachments (hub-safe
-    # linkage — see operators/context.py)
-    edges = _run_stage(
+    # linkage — see operators/context.py). One table, one pass over the
+    # scored pairs; the two roles are partition-pruned filters on it.
+    edge_split = _run_stage(
         store,
-        "match_edges",
+        "edge_split",
         ["scored_pairs"],
-        lambda: split_name_edges(scored)[0],
+        lambda: name_edge_table(scored, cfg.threshold),
         cfg,
     )
-    amb_links = _run_stage(
-        store,
-        "alias_links",
-        ["scored_pairs"],
-        lambda: split_name_edges(scored)[1],
-        cfg,
+    edges = edge_split.filter(F.col("role") == "safe").select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    )
+    amb_links = edge_split.filter(F.col("role") == "amb").select(
+        F.col("a").alias("amb_uid"), F.col("b").alias("anchor_uid")
     )
     name_clusters = _run_stage(
         store,
         "name_clusters",
-        ["match_edges", "alias_links", "names"],
+        ["edge_split", "names"],
         lambda: name_cluster_table(
             names,
-            connected_components(edges, max_iter=cfg.cc_max_iter),
+            connected_components(
+                edges, max_iter=cfg.cc_max_iter, converge_check_every=2
+            ),
             amb_links,
         ),
         cfg,
     )
+    caches: list = []
     assignments = _run_stage(
         store,
         "assignments",
-        ["name_clusters", "alias_links", "mentions"],
-        lambda: resolve_in_context(mentions, name_clusters, amb_links),
+        ["name_clusters", "edge_split", "mentions"],
+        lambda: resolve_in_context(
+            mentions, name_clusters, amb_links, cache_registry=caches
+        ),
         cfg,
     )
+    for c in caches:  # stage table is committed — drop the helper cache
+        c.unpersist()
     entities = _run_stage(
         store,
         "entities",
@@ -203,6 +222,7 @@ def run_pipeline(
         "block_assign": blocks,
         "candidate_pairs": pairs,
         "scored_pairs": scored,
+        "edge_split": edge_split,
         "match_edges": edges,
         "alias_links": amb_links,
         "name_clusters": name_clusters,

@@ -24,18 +24,19 @@ def test_end_to_end_f1_gate(spark, small_corpus, tmp_workdir):
     assert ev["precision"] == 1.0
     assert ev["f1"] >= 0.99, ev
 
-    # stage checkpoints + meta tables all on disk
+    # stage checkpoints + meta tables all on disk (edge_split holds both
+    # safe edges and alias links as one single-pass table)
     for stage in (
         "extracted", "mentions", "names", "block_assign", "candidate_pairs",
-        "scored_pairs", "match_edges", "alias_links", "name_clusters",
+        "scored_pairs", "edge_split", "name_clusters",
         "assignments", "entities", "_meta_metrics", "_meta_lineage",
     ):
         assert os.path.exists(os.path.join(tmp_workdir, stage)), stage
 
     metrics = spark.read.parquet(os.path.join(tmp_workdir, "_meta_metrics"))
-    assert metrics.count() == 11
+    assert metrics.count() == 10
     lineage = spark.read.parquet(os.path.join(tmp_workdir, "_meta_lineage"))
-    assert lineage.select("stage").distinct().count() == 11
+    assert lineage.select("stage").distinct().count() == 10
     # lineage row counts reconcile with stage row counts
     recon = (
         lineage.groupBy("stage").agg(F.sum("rows").alias("lrows"))
