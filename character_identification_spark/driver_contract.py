@@ -273,10 +273,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, docs)
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Direct word n-gram Jaccard dedup (the exact-verification family on
-    its own, no LSH prefilter): all pairs over a deterministic 1-in-5
-    sample of the augmented corpus."""
+def q_dedup_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERIFY-ONLY form of the n-gram Jaccard family: exact all-pairs over
+    a deterministic 1-in-5 sample — the recall oracle for the bounded
+    production form (minhash_dup_pairs = the same Jaccard semantics behind
+    a banded-LSH prefilter, which is the path that scales). The crossJoin
+    here is intentional and sampled; it exists to measure what the LSH
+    prefilter would miss, never to run on a full corpus."""
     from character_identification_spark.operators.dedup import word_shingles
 
     docs = _docs_aug(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
@@ -308,8 +311,12 @@ def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the DEFAULT sign-LSH-bucketed path (n_planes=8) — the
+    scale formulation. The md5-pure hyperplanes make even this
+    'approximate' prefilter exactly replayable in the DuckDB oracle."""
     e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
-    # scaled copies: cos(v, 0.5v) == 1.0 exactly (power-of-two scale)
+    # scaled copies: cos(v, 0.5v) == 1.0 exactly (power-of-two scale),
+    # and positive scaling preserves every plane sign → never pruned
     aug = e.unionByName(
         e.select(
             (F.col("vec_id") + 100000).alias("vec_id"),
@@ -490,6 +497,77 @@ def q_eval_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eval_pairf1_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 multi-membership pairwise F1 (SURVEY §2 M5 + A6): every vector
+    belongs to TWO clusters (two independent 4-plane sign-LSH bucketings —
+    membership table a: planes 0-3, table b: planes 4-7); two vectors are
+    predicted coreferent iff their membership SETS intersect (either table
+    agrees), scored against gold = label equality. The set-intersection
+    predicate is exactly what evaluation.pairf1.pairwise_f1_multi applies
+    to plural mentions."""
+    from character_identification_spark.operators.similarity import plane_component
+
+    e = _emb_double(spark, sf_dir)
+    dimc = F.size(F.col("embedding"))
+
+    def bucket(offset):
+        bits = []
+        for p in range(4):
+            dp = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.transform(
+                        F.sequence(F.lit(0), dimc - 1),
+                        lambda d: plane_component(F.lit(offset + p), d),
+                    ),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dp >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out.cast("long")
+
+    v = e.select(
+        F.col("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        bucket(0).alias("b0"),
+        bucket(4).alias("b1"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("id1"), F.col("label").alias("l1"),
+        F.col("b0").alias("b0_1"), F.col("b1").alias("b1_1"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("id2"), F.col("label").alias("l2"),
+        F.col("b0").alias("b0_2"), F.col("b1").alias("b1_2"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            ((F.col("b0_1") == F.col("b0_2")) | (F.col("b1_1") == F.col("b1_2"))).alias("pred"),
+            (F.col("l1") == F.col("l2")).alias("gold"),
+        )
+    )
+    agg = pairs.agg(
+        F.sum(F.when(F.col("pred") & F.col("gold"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("gold"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("gold"), 1).otherwise(0)).alias("fn"),
+    )
+    return agg.select(
+        "tp", "fp", "fn",
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+        F.round(
+            2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")), 6
+        ).alias("f1"),
+    )
+
+
 def q_events_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbor linking (SURVEY §2 S7): prev/next event per user via
     lag/lead — the reference's doubly-linked lists as window functions."""
@@ -665,7 +743,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_verify": q_dedup_ngram_jaccard_verify,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
     "text_stats": q_text_stats,
     "text_language_id": q_text_language_id,
@@ -677,6 +755,7 @@ QUERIES = {
     "text_vocab": q_text_vocab,
     "similarity_lsh_buckets": q_similarity_lsh_buckets,
     "eval_bcubed": q_eval_bcubed,
+    "eval_pairf1_multi": q_eval_pairf1_multi,
     "asof_prev_event": q_asof_prev_event,
     "asof_join_events": q_asof_join_events,
     "events_tumbling": q_events_tumbling,

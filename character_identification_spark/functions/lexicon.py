@@ -78,6 +78,14 @@ def pronoun_class(norm_col: Column | str = "norm") -> Column:
     )
 
 
+def coarsen_to_vocab(label_col: Column | str, vocab: tuple[str, ...]) -> Column:
+    """F4 linking-label coarsening (reference: latest/system.py:189-193):
+    a referent outside the fixed label vocabulary collapses to '#other#'.
+    Null stays null (an unresolved mention is not an #other# prediction)."""
+    c = F.col(label_col) if isinstance(label_col, str) else label_col
+    return F.when(c.isNull(), c).when(c.isin(*vocab), c).otherwise(F.lit("#other#"))
+
+
 def label_gender(label_col: Column | str) -> Column:
     """'m' | 'f' | null from the first token of a normalized label."""
     c = F.col(label_col) if isinstance(label_col, str) else label_col

@@ -177,18 +177,79 @@ def minhash_dup_pairs(
 # --------------------------------------------------------------------------
 
 def simhash(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    impl: str = "numpy",
 ) -> DataFrame:
     """→ (doc_id, simhash long): classic bit-vote SimHash over whitespace
     tokens, each token hashed to a 60-bit md5-derived integer, weighted by
     its occurrence count.
 
-    Fully relational (explode tokens → explode bit positions → two
-    aggregations) so the identical computation runs in the DuckDB oracle.
-    The 60×-token row blowup is the price of oracle parity; at corpus scale
-    swap in the numpy variant (same contract) behind a config flag —
-    semantics stay identical because both are pure functions of the text.
+    Two bit-identical implementations (property-tested equal,
+    tests/test_dedup.py):
+
+      impl='numpy'       DEFAULT scale path — one Arrow batch in/out per
+                         partition (mapInPandas), votes as a vocab×bits
+                         matrix multiply. No shuffle at all (the
+                         relational form shuffles twice), no row blowup.
+      impl='relational'  explode tokens → explode bit positions → two
+                         aggregations; 60×|tokens| intermediate rows.
+                         This is the DuckDB-oracle twin and the
+                         readable spec of the semantics.
+
+    Both are pure functions of the text (md5 token hashes), so the oracle
+    checks the numpy path value-for-value against the SQL form.
     """
+    if impl == "relational":
+        return _simhash_relational(docs, id_col, text_col, bits)
+    if impl != "numpy":
+        raise ValueError(f"impl must be 'numpy' or 'relational'; got {impl!r}")
+
+    import hashlib
+    import re
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    shifts = np.arange(bits, dtype=np.uint64)
+    powers = (np.uint64(1) << shifts).astype(np.int64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hash_cache: dict[str, int] = {}
+        for pdf in batches:
+            ids, hashes = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:  # relational twin drops null text (explode)
+                    continue
+                # token rule matches F.split(F.trim(text), r"\s+"):
+                # empty/whitespace-only text yields one '' token
+                counts = Counter(re.split(r"\s+", text.strip()))
+                votes = np.zeros(bits, dtype=np.int64)
+                for tok, w in counts.items():
+                    th = hash_cache.get(tok)
+                    if th is None:
+                        th = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                        hash_cache[tok] = th
+                    tokbits = (np.uint64(th) >> shifts) & np.uint64(1)
+                    votes += w * (2 * tokbits.astype(np.int64) - 1)
+                ids.append(did)
+                hashes.append(int(powers[votes > 0].sum()))
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "simhash": pd.Series(hashes, dtype="int64")}
+            )
+
+    schema = f"{id_col} long, simhash long"
+    return docs.select(id_col, text_col).mapInPandas(fn, schema)
+
+
+def _simhash_relational(
+    docs: DataFrame, id_col: str, text_col: str, bits: int
+) -> DataFrame:
     toks = (
         docs.select(
             F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
@@ -269,14 +330,16 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 0,
+    n_planes: int = 8,
 ) -> DataFrame:
     """→ (id1, id2, cos_sim, is_dup): cosine near-duplicates.
 
-    n_planes=0 → exact all-pairs (test/oracle path; O(n²), only sane on
-    small inputs). n_planes>0 → sign-LSH bucketing first (scale path): only
-    pairs agreeing on every hyperplane sign are compared, planes drawn
-    deterministically from md5 (functions/similarity.py)."""
+    DEFAULT is the scale path (n_planes=8): sign-LSH bucketing first —
+    only pairs agreeing on every hyperplane sign are compared, planes
+    drawn deterministically from md5 (operators/similarity.py), so the
+    bucket join replaces the cross product AND stays value-level
+    oracle-checkable. n_planes=0 → exact all-pairs: the verification /
+    recall-oracle variant, O(n²), only sane on small inputs."""
     base = emb.select(F.col(id_col), F.col(vec_col))
     if n_planes:
         from character_identification_spark.operators.similarity import sign_lsh_bucket

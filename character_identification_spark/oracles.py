@@ -529,7 +529,27 @@ SELECT id1, id2, jaccard, jaccard >= 0.7 AS is_dup FROM p WHERE jaccard > 0
 """
 )
 
-SQL_DEDUP_EMBEDDING_PAIRS = r"""
+def _dd_sign_bucket(n_planes: int, offset: int = 0) -> str:
+    """DuckDB twin of similarity.sign_lsh_bucket over a DOUBLE[] column v
+    (generalizes the 4-plane _LSH_BUCKET_EXPR below; ``offset`` selects
+    the plane-index window, for multi-table bucketings)."""
+    bits = []
+    for p in range(n_planes):
+        h = (
+            f"CAST(CAST('0x' || substr(md5('{offset + p}|' || CAST(i - 1 AS VARCHAR)), 1, 15)"
+            " AS UBIGINT) AS BIGINT)"
+        )
+        dot = (
+            "list_sum(list_transform(generate_series(1, len(v)), "
+            f"i -> v[i] * (({h} / 576460752303423488.0) - 1.0)))"
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+# exact twin of embedding_dup_pairs' DEFAULT n_planes=8 sign-LSH path:
+# candidates = bucket equality, then exact cosine
+SQL_DEDUP_EMBEDDING_PAIRS = f"""
 WITH e AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings
@@ -539,12 +559,15 @@ aug AS (
   UNION ALL
   SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 0.5) AS v FROM e
 ),
+bk AS (
+  SELECT vec_id, v, {_dd_sign_bucket(8)} AS bucket FROM aug
+),
 p AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2,
          list_dot_product(a.v, b.v) /
            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
            AS cos_sim
-  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT id1, id2, round(cos_sim, 6) AS cos_sim, cos_sim >= 0.95 AS is_dup
 FROM p WHERE cos_sim >= 0.4
@@ -726,6 +749,35 @@ SELECT precision, recall,
 FROM agg
 """
 )
+
+# twin of q_eval_pairf1_multi: membership sets {bucket(planes 0-3),
+# bucket(planes 4-7)} intersect ⇒ predicted coreferent; gold = label equality
+SQL_EVAL_PAIRF1_MULTI = f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         CAST(label AS BIGINT) AS label
+  FROM embeddings
+),
+vv AS (
+  SELECT vec_id, label, {_dd_sign_bucket(4, 0)} AS b0, {_dd_sign_bucket(4, 4)} AS b1
+  FROM e
+),
+p AS (
+  SELECT (a.b0 = b.b0 OR a.b1 = b.b1) AS pred, (a.label = b.label) AS gold
+  FROM vv a JOIN vv b ON a.vec_id < b.vec_id
+),
+agg AS (
+  SELECT sum(CASE WHEN pred AND gold THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN pred AND NOT gold THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN NOT pred AND gold THEN 1 ELSE 0 END) AS fn
+  FROM p
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+       round(tp / CAST(tp + fp AS DOUBLE), 6) AS precision,
+       round(tp / CAST(tp + fn AS DOUBLE), 6) AS recall,
+       round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1
+FROM agg
+"""
 
 SQL_EVENTS_JSON_PROPS = r"""
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
@@ -985,7 +1037,7 @@ ORACLES = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
-    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_ngram_jaccard_verify": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_pairs": SQL_DEDUP_EMBEDDING_PAIRS,
     "text_stats": SQL_TEXT_STATS,
     "text_language_id": SQL_TEXT_LANGUAGE_ID,
@@ -995,6 +1047,7 @@ ORACLES = {
     "similarity_ann": SQL_SIMILARITY_ANN,
     "similarity_lsh_buckets": SQL_SIMILARITY_LSH_BUCKETS,
     "eval_bcubed": SQL_EVAL_BCUBED,
+    "eval_pairf1_multi": SQL_EVAL_PAIRF1_MULTI,
     "events_json_props": SQL_EVENTS_JSON_PROPS,
     "text_vocab": SQL_TEXT_VOCAB,
     "asof_prev_event": SQL_ASOF_PREV_EVENT,

@@ -141,15 +141,19 @@ def match_names_to_cast(name_mentions: DataFrame, cast: DataFrame) -> DataFrame:
 
 
 def link_transcript_mentions(
-    utterances: DataFrame, mentions: DataFrame
+    utterances: DataFrame,
+    mentions: DataFrame,
+    label_vocab: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """mentions(mention_uid, utterance_id, utt_idx, sent_idx, begin,
     surface, block_key=scene_id) + utterances → assignments
-    (mention_uid, cluster_id, auto_ref, kind).
+    (mention_uid, cluster_id, auto_ref, auto_refs, kind).
 
     auto_ref is the predicted character label (null when the mention
     resolves to no character — it then gets a deterministic singleton /
-    pool cluster). cluster_id is scene-scoped."""
+    pool cluster). cluster_id is scene-scoped. ``label_vocab`` applies F4
+    linking-label coarsening (functions/lexicon.coarsen_to_vocab): a
+    predicted label outside the vocabulary collapses to '#other#'."""
     ctx = speaker_context(utterances)
     cast = cast_table(utterances)
 
@@ -213,16 +217,79 @@ def link_transcript_mentions(
             F.col("kind").isin("p3m", "p3f"), F.coalesce(cand_gender, cand_any)
         ).otherwise(F.col("ref0")),
     )
+    # F4 coarsening applies to the LINKING label only (the reference
+    # coarsens the refs fed to its linking classifier, system.py:189-193);
+    # the clustering key keeps the raw resolved referent — two mentions of
+    # the same out-of-vocab character still co-refer.
+    m = m.withColumn("ref_raw", F.col("auto_ref"))
+    if label_vocab is not None:
+        from character_identification_spark.functions.lexicon import coarsen_to_vocab
+
+        m = m.withColumn("auto_ref", coarsen_to_vocab("auto_ref", label_vocab))
 
     key = F.coalesce(
-        F.col("auto_ref"),
+        F.col("ref_raw"),
         F.when(F.col("mg").isNotNull(), F.concat(F.lit("g:"), F.col("mg"))),
         F.concat(F.lit("u:"), F.col("mention_uid").cast("string")),
     )
+    # M5 multi-membership: a plural mention refers to a label SET — "we"
+    # covers the speaker AND the addressee (reference keeps a referent
+    # list per mention, state.py:14,31-37). auto_ref stays the primary
+    # (speaker, the reference's closest-previous-speaker pick for plurals,
+    # baseline/tools/ioutils.py:139-151); auto_refs carries the full set.
+    auto_refs = F.when(
+        F.col("kind") == "ppl",
+        F.array_distinct(
+            F.filter(
+                F.array(F.col("spk"), F.col("prev_spk")), lambda x: x.isNotNull()
+            )
+        ),
+    ).otherwise(
+        F.when(
+            F.col("auto_ref").isNotNull(), F.array(F.col("auto_ref"))
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    if label_vocab is not None:  # F4 applies to every linking label
+        auto_refs = F.array_distinct(
+            F.transform(
+                auto_refs,
+                lambda x: F.when(x.isin(*label_vocab), x).otherwise(
+                    F.lit("#other#")
+                ),
+            )
+        )
     return m.select(
         "mention_uid",
         F.concat(F.col("scene_id"), F.lit("|"), key).alias("cluster_id"),
         "auto_ref",
+        auto_refs.alias("auto_refs"),
         "kind",
         F.col("scene_id").alias("block_key"),
     )
+
+
+def membership_rows(assign: DataFrame) -> DataFrame:
+    """Linker output → membership rows (mention_uid, block_key,
+    cluster_id), one row PER label in auto_refs (scene-scoped label
+    clusters); mentions with no resolved label keep their singleton/pool
+    cluster row. This is the M5 multi-membership table that
+    evaluation.pairf1.pairwise_f1_multi / b_cubed_multi consume."""
+    from character_identification_spark.evaluation.pairf1 import AMBIGUOUS
+
+    linkable = F.filter(
+        "auto_refs", lambda x: ~x.isin(*AMBIGUOUS)
+    )  # ambiguous labels never co-refer — no cluster membership from them
+    withl = assign.withColumn("linkable", linkable)
+    multi = (
+        withl.filter(F.size("linkable") > 0)
+        .select("mention_uid", "block_key", F.explode("linkable").alias("ref"))
+        .select(
+            "mention_uid",
+            "block_key",
+            F.concat("block_key", F.lit("|"), F.col("ref")).alias("cluster_id"),
+        )
+    )
+    single = withl.filter(F.size("linkable") == 0).select(
+        "mention_uid", "block_key", "cluster_id"
+    )
+    return multi.unionByName(single)

@@ -100,9 +100,16 @@ def test_embedding_dup_pairs_exact(spark):
         ],
         "vec_id long, embedding array<float>",
     )
-    got = {(r["id1"], r["id2"]): r for r in embedding_dup_pairs(emb, threshold=0.99).collect()}
+    got = {(r["id1"], r["id2"]): r for r in
+           embedding_dup_pairs(emb, threshold=0.99, n_planes=0).collect()}
     assert got[(0, 1)]["is_dup"]
     assert not got[(0, 2)]["is_dup"]
+    # default LSH path: a subset of the exact pairs, and near-parallel
+    # vectors (identical plane signs) are never pruned
+    lsh = {(r["id1"], r["id2"]): r for r in
+           embedding_dup_pairs(emb, threshold=0.99).collect()}
+    assert set(lsh) <= set(got)
+    assert (0, 1) in lsh and lsh[(0, 1)]["is_dup"]
 
 
 def test_dedup_clusters_transitive(spark, docs):
@@ -115,3 +122,35 @@ def test_dedup_clusters_transitive(spark, docs):
     assert out[1] == (0, False)
     assert out[2] == (0, False)  # transitive through 1
     assert out[3] == (3, True)
+
+
+def test_simhash_numpy_equals_relational(spark):
+    """The mapInPandas scale path and the relational oracle twin are
+    bit-identical over adversarial texts (unicode, repeated tokens, odd
+    whitespace, empty string)."""
+    rows = [
+        (0, "a"),
+        (1, ""),
+        (2, "   "),
+        (3, "a a a b"),
+        (4, "tab\tseparated\tand  double  spaced"),
+        (5, "ünïcode tökens naïve café café"),
+        (6, " ".join(f"w{i % 17}" for i in range(500))),
+        (7, "punctuation, stays! as-is? yes."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["simhash"] for r in simhash(docs, impl="numpy").collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash(docs, impl="relational").collect()}
+    assert a == b
+    # null text: both implementations drop the row
+    docs_null = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    assert simhash(docs_null, impl="numpy").count() == 0
+    assert simhash(docs_null, impl="relational").count() == 0
+
+
+def test_simhash_numpy_is_partitioning_invariant(spark, docs):
+    one = {r["doc_id"]: r["simhash"] for r in
+           simhash(docs.repartition(1), impl="numpy").collect()}
+    many = {r["doc_id"]: r["simhash"] for r in
+            simhash(docs.repartition(7), impl="numpy").collect()}
+    assert one == many

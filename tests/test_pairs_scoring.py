@@ -72,3 +72,28 @@ def test_score_monotone_features(spark):
     rows = {r["uid1"]: r for r in score_pairs(pairs).collect()}
     assert rows[1]["jw"] == 1.0 and rows[1]["lev_ratio"] == 1.0
     assert rows[1]["score"] > rows[3]["score"]
+
+
+def test_score_pairs_with_lcs_blend(spark):
+    """C1 wiring: the reference's LCS-ratio pair (its only string
+    similarity, util/__init__.py:57-79) as a scorer blend component."""
+    from character_identification_spark.functions.strings import _lcs_len
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, "ross geller", "ross gellar"),
+            (3, 4, "ross geller", "completely other"),
+        ],
+        "uid1 long, uid2 long, norm_1 string, norm_2 string",
+    )
+    out = {r["uid1"]: r for r in
+           score_pairs(pairs, with_lcs=True, dedup_strings=False).collect()}
+    a, b = "ross geller", "ross gellar"
+    expect = min(_lcs_len(a, b) / len(a), _lcs_len(a, b) / len(b))
+    assert abs(out[1]["lcs_ratio"] - expect) < 1e-9
+    assert out[1]["lcs_ratio"] > out[3]["lcs_ratio"]
+    assert out[1]["is_match"] and not out[3]["is_match"]
+    # blend uses the lcs weight: score differs from the default blend
+    base = {r["uid1"]: r for r in
+            score_pairs(pairs, dedup_strings=False).collect()}
+    assert abs(out[1]["score"] - base[1]["score"]) > 1e-6

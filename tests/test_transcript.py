@@ -172,3 +172,73 @@ def test_hungarian_matches_brute_force():
             for csub in itertools.permutations(range(m), k):
                 best = max(best, sum(s[rsub[i], csub[i]] for i in range(k)))
         assert abs(hungarian_max(s) - best) < 1e-9
+
+
+@needs_ref
+def test_plural_multi_membership(spark, dev):
+    """M5: plural mentions ("we") carry a label SET — speaker AND
+    addressee — and membership_rows emits one cluster row per label."""
+    from character_identification_spark.plans.transcript_link import membership_rows
+    from character_identification_spark.evaluation.pairf1 import pairwise_f1_multi
+
+    utt, gold = dev
+    assign = link_transcript_mentions(utt, gold).cache()
+    ppl = assign.filter(F.col("kind") == "ppl")
+    assert ppl.count() > 200
+    # plurals with a known addressee have ≥ 2 memberships
+    assert ppl.filter(F.size("auto_refs") >= 2).count() > 100
+    mem = membership_rows(assign)
+    # every mention keeps at least one membership row
+    assert mem.select("mention_uid").distinct().count() == assign.count()
+    # exploded rows exceed mentions (the plural fan-out)
+    assert mem.count() > assign.count()
+    # multi-membership scoring consumes the label sets end-to-end; the
+    # extra addressee edges trade precision for recall around the same F1
+    ev = pairwise_f1_multi(mem, gold_pairs_from_mentions(gold))
+    assert ev["f1"] >= 0.70
+    assign.unpersist()
+
+
+def test_b_cubed_multi_reference_semantics(spark):
+    """Hand-computed reference check (evaluators.py:38-58): gold clusters
+    {a,b},{b,c}; auto {a,b,c}. Mention b aggregates the union of both its
+    gold clusters."""
+    from character_identification_spark.evaluation.pairf1 import b_cubed_multi
+
+    auto = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x")], "mention_uid string, cluster_id string"
+    )
+    gold = spark.createDataFrame(
+        [("a", "g1"), ("b", "g1"), ("b", "g2"), ("c", "g2")],
+        "mention_uid string, entity string",
+    )
+    out = b_cubed_multi(auto, gold)
+    # per reference math: agg_gold(a)={a,b}, agg_gold(b)={a,b,c},
+    # agg_gold(c)={b,c}; agg_auto(*)={a,b,c}
+    # p = (2/3 + 3/3 + 2/3)/3 = 7/9 ; r = (2/2 + 3/3 + 2/2)/3 = 1
+    assert abs(out["precision"] - 7 / 9) < 1e-9
+    assert abs(out["recall"] - 1.0) < 1e-9
+
+
+@needs_ref
+def test_f4_label_vocab_coarsening(spark, dev):
+    """F4 (reference system.py:189-193): predictions outside the label
+    vocabulary collapse to '#other#' — and '#other#' never forms a
+    cluster."""
+    utt, gold = dev
+    vocab = ("rachel green", "ross geller", "chandler bing",
+             "monica geller", "joey tribbiani", "phoebe buffay")
+    assign = link_transcript_mentions(utt, gold, label_vocab=vocab).cache()
+    labels = {r["auto_ref"] for r in
+              assign.select("auto_ref").distinct().collect()}
+    assert labels <= set(vocab) | {"#other#", None}
+    assert assign.filter(F.col("auto_ref") == "#other#").count() > 0
+    # coarsening touches the LINKING label only — clustering is invariant
+    base = link_transcript_mentions(utt, gold)
+    diff = (
+        assign.select("mention_uid", "cluster_id")
+        .exceptAll(base.select("mention_uid", "cluster_id"))
+        .count()
+    )
+    assert diff == 0
+    assign.unpersist()
