@@ -109,7 +109,8 @@ def _pipeline_assignments(spark: SparkSession, pages_path: str, cores: int):
     # way the checkpointed pipeline (plans/pipeline.py) already does
     mentions = extract_mentions(extracted_pages(pages, "en")).persist()
     names = (
-        mentions.select("norm").distinct().withColumn("mention_uid", h_long(F.col("norm")))
+        mentions.select("norm").distinct()
+        .withColumn("mention_uid", h_long(F.col("norm")))  # as pipeline.py
     ).persist()
     blocks = assign_blocks(names, max_block_size=200)
     pairs = generate_pairs(names, blocks, payload_cols=("norm",))

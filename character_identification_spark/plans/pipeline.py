@@ -45,7 +45,7 @@ from character_identification_spark.evaluation.pairf1 import (
     gold_pairs_from_mentions,
     pairwise_f1,
 )
-from character_identification_spark.functions.hashing import h_hex
+from character_identification_spark.functions.hashing import h_hex, h_long
 from character_identification_spark.ingest.extract import extracted_pages
 from character_identification_spark.ingest.mentions import extract_mentions
 from character_identification_spark.operators.blocking import assign_blocks
@@ -74,6 +74,12 @@ class PipelineConfig:
     catalog: str | None = None
     force: bool = False
     partition_by: dict = field(default_factory=dict)  # stage -> cols
+    # 60-bit md5-prefix longs are the fast name key (8-byte shuffle keys
+    # through blocking/pairs/CC); the names stage ASSERTS injectivity, so
+    # a birthday collision fails loudly instead of silently fusing names.
+    # Flip to 128 (full md5 hex strings) for 10^9+-name vocabularies,
+    # where 60-bit collision probability (~0.4) makes the assert trip.
+    name_key_bits: int = 60
 
 
 def _run_stage(store: StageStore, name: str, inputs: list[str], build, cfg: PipelineConfig) -> DataFrame:
@@ -124,18 +130,30 @@ def run_pipeline(
     )
     # name-level linkage: one node per distinct normalized surface form.
     # name_uid rides in the blocking/pairing operators' mention_uid slot.
+    name_key = (
+        h_long(F.col("norm"))
+        if cfg.name_key_bits == 60
+        else h_hex(F.col("norm"), 32)
+    )
     names = _run_stage(
         store,
         "names",
         ["mentions"],
-        # full 32-hex md5 as the name key: a 60-bit prefix has ~0.4
-        # birthday-collision probability at the 10^9-name vocabularies the
-        # docs target; 128 bits is collision-free for any realistic corpus
-        lambda: mentions.select("norm")
-        .distinct()
-        .withColumn("mention_uid", h_hex(F.col("norm"), 32)),
+        lambda: mentions.select("norm").distinct().withColumn("mention_uid", name_key),
         cfg,
     )
+    if cfg.name_key_bits == 60:
+        # injectivity gate (one agg over the vocabulary-sized table): a
+        # hash collision here would silently fuse two distinct names into
+        # one linkage node downstream — fail instead
+        nrow = names.agg(
+            F.count("*").alias("n"), F.count_distinct("mention_uid").alias("d")
+        ).collect()[0]
+        if nrow["n"] != nrow["d"]:
+            raise RuntimeError(
+                f"name-key collision: {nrow['n']} norms → {nrow['d']} uids; "
+                "rerun with PipelineConfig(name_key_bits=128)"
+            )
     blocks = _run_stage(
         store,
         "block_assign",
