@@ -55,7 +55,11 @@ from character_identification_spark.operators.multimodal import (
 )
 from character_identification_spark.operators.pairs import generate_pairs
 from character_identification_spark.operators.scoring import score_pairs
-from character_identification_spark.operators.similarity import ann_topk, cosine_topk
+from character_identification_spark.operators.similarity import (
+    ann_topk,
+    cosine_topk,
+    ivf_topk,
+)
 from character_identification_spark.operators.textstats import (
     bpe_ish_token_count,
     fingerprint,
@@ -385,6 +389,19 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # As-of / window / streaming-analog queries over events
 # ===========================================================================
+
+
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-file ANN (deterministic md5-exemplar codebook,
+    nprobe-probed lists, exact rerank) — fully replayable in DuckDB."""
+    e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = ivf_topk(e, queries, k=10, n_centroids=16, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
 
 
 def q_asof_prev_event(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -751,6 +768,7 @@ QUERIES = {
     "text_token_counts": q_text_token_counts,
     "similarity_topk": q_similarity_topk,
     "similarity_ann": q_similarity_ann,
+    "similarity_ivf": q_similarity_ivf,
     "events_json_props": q_events_json_props,
     "text_vocab": q_text_vocab,
     "similarity_lsh_buckets": q_similarity_lsh_buckets,

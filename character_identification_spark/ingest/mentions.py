@@ -43,14 +43,15 @@ def _norm(s: str) -> str:
     return _NON_ALNUM.sub(" ", s.lower()).strip()
 
 
-def _extract_batches(min_len: int):
+def _extract_batches(min_len: int, with_ts: bool):
     # normalization happens inside the Arrow batch: a JVM regexp filter
     # stacked directly on a PythonMapInPandas node showed erratic 10-50s
     # codegen stalls, and doing it here saves one pass anyway
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            urls, idxs, begins, ends, surfaces, norms = [], [], [], [], [], []
-            for url, text in zip(pdf["url"], pdf["text"]):
+            urls, idxs, begins, ends, surfaces, norms, tss = [], [], [], [], [], [], []
+            ts_iter = pdf["warc_ts"] if with_ts else pdf["url"]
+            for url, text, ts in zip(pdf["url"], pdf["text"], ts_iter):
                 if text is None:
                     continue
                 for i, m in enumerate(_MENTION_RE.finditer(text)):
@@ -63,24 +64,36 @@ def _extract_batches(min_len: int):
                     ends.append(m.end())
                     surfaces.append(m.group(0))
                     norms.append(norm)
-            yield pd.DataFrame(
-                {"url": urls, "mention_idx": idxs, "begin": begins,
-                 "end": ends, "surface": surfaces, "norm": norms}
-            )
+                    if with_ts:
+                        tss.append(ts)
+            out = {"url": urls, "mention_idx": idxs, "begin": begins,
+                   "end": ends, "surface": surfaces, "norm": norms}
+            if with_ts:
+                out["warc_ts"] = tss
+            yield pd.DataFrame(out)
 
     return fn
 
 
-def extract_mentions(pages: DataFrame, min_len: int = 2) -> DataFrame:
+def extract_mentions(
+    pages: DataFrame, min_len: int = 2, with_ts: bool = False
+) -> DataFrame:
     """pages(url, text, ...) → mentions(mention_uid, url, mention_idx,
-    begin, end, surface, norm).
+    begin, end, surface, norm[, warc_ts]).
+
+    ``with_ts`` carries the page's event time onto every mention — the
+    streaming operators (windowed aggregation, stateful tracking) need it
+    for watermarks, and passing it through the Arrow batch avoids a
+    stream-stream self-join back to pages.
 
     Note: mention_idx counts ALL regex hits in document order (including
     any later dropped by min_len), so uids stay stable under filter-policy
     changes — the per-block reindexing hazard the reference has
     (experiments/system.py:108) doesn't arise.
     """
-    raw = pages.select("url", "text").mapInPandas(_extract_batches(min_len), MENTION_SCHEMA)
+    cols = ["url", "warc_ts", "text"] if with_ts else ["url", "text"]
+    schema = MENTION_SCHEMA + (", warc_ts timestamp" if with_ts else "")
+    raw = pages.select(*cols).mapInPandas(_extract_batches(min_len, with_ts), schema)
     return raw.withColumn(
         "mention_uid",
         h_long(F.concat_ws("#", F.col("url"), F.col("mention_idx"))),

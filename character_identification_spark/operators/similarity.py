@@ -100,6 +100,69 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: an inverted-file index over a coarse
+    quantizer — the second scale path next to sign-LSH (ann_topk).
+
+      1. centroids = n_centroids exemplar vectors picked deterministically
+         (lowest md5(id) — an md5-pure "random" sample, so the DuckDB
+         oracle rebuilds the identical codebook; at real scale plug a
+         k-means codebook in — the index/probe dataflow is unchanged);
+      2. every corpus vector joins its nearest centroid (broadcast
+         codebook, top-1 window) → the inverted lists;
+      3. a query probes its nprobe nearest centroids and reranks ONLY
+         those lists exactly.
+
+    Probing cost is |corpus|/n_centroids × nprobe per query in
+    expectation; the corpus-sized cross product never happens."""
+    # global top-n by hash = TakeOrderedAndProject (per-partition top-n +
+    # tiny driver merge), NOT a single-partition window sort
+    cents = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
+        .limit(n_centroids)
+    )
+
+    def nearest(df, idc, topn):
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "c_sim", cosine_sim(vec_col, "cvec")
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("c_sim"), F.asc("cid"))
+        return (
+            scored.withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") <= topn)
+            .drop("cvec", "c_sim", "crk")
+        )
+
+    lists = nearest(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        "neighbor_id", 1,
+    ).select("neighbor_id", F.col(vec_col).alias("cv"), "cid")
+    probes = nearest(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col)),
+        "query_id", nprobe,
+    ).select("query_id", F.col(vec_col).alias("qv"), "cid")
+    cand = lists.join(probes, "cid").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn("cos_sim", cosine_sim("cv", "qv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

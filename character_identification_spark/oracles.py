@@ -750,6 +750,57 @@ FROM agg
 """
 )
 
+# twin of ivf_topk(n_centroids=16, nprobe=4, k=10): md5-exemplar codebook,
+# nearest-centroid inverted lists, nprobe probes, exact rerank
+SQL_SIMILARITY_IVF = r"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cid, v AS cvec FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+lists AS (
+  SELECT vec_id AS neighbor_id, v AS cv, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cvec) /
+                      (sqrt(list_dot_product(e.v, e.v)) *
+                       sqrt(list_dot_product(c.cvec, c.cvec))) DESC, c.cid
+           ) AS crk
+    FROM e CROSS JOIN cents c
+  ) WHERE crk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cvec) /
+                      (sqrt(list_dot_product(e.v, e.v)) *
+                       sqrt(list_dot_product(c.cvec, c.cvec))) DESC, c.cid
+           ) AS crk
+    FROM e CROSS JOIN cents c
+    WHERE e.vec_id < 8
+  ) WHERE crk <= 4
+),
+s AS (
+  SELECT p.query_id, l.neighbor_id,
+         list_dot_product(l.cv, p.qv) /
+           (sqrt(list_dot_product(l.cv, l.cv)) * sqrt(list_dot_product(p.qv, p.qv)))
+           AS cos_sim
+  FROM lists l JOIN probes p USING (cid)
+  WHERE l.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+FROM s
+QUALIFY rank <= 10
+"""
+
 # twin of q_eval_pairf1_multi: membership sets {bucket(planes 0-3),
 # bucket(planes 4-7)} intersect ⇒ predicted coreferent; gold = label equality
 SQL_EVAL_PAIRF1_MULTI = f"""
@@ -1045,6 +1096,7 @@ ORACLES = {
     "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "similarity_ann": SQL_SIMILARITY_ANN,
+    "similarity_ivf": SQL_SIMILARITY_IVF,
     "similarity_lsh_buckets": SQL_SIMILARITY_LSH_BUCKETS,
     "eval_bcubed": SQL_EVAL_BCUBED,
     "eval_pairf1_multi": SQL_EVAL_PAIRF1_MULTI,

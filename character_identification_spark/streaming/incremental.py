@@ -56,6 +56,84 @@ def streaming_dedup(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def windowed_mention_counts(
+    pages: DataFrame,
+    keep_lang: str | None = "en",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window mention counts per normalized name —
+    the streaming twin of the batch events_tumbling aggregation, with late
+    data handled by the watermark (rows later than ``watermark`` behind
+    the max event time are dropped from the open window state).
+
+    Works in BOTH modes: on a static DataFrame it is the exact batch
+    aggregation (tested equal), on a stream it maintains incremental
+    window state."""
+    mentions = extract_mentions(extracted_pages(pages, keep_lang), with_ts=True)
+    if pages.isStreaming:
+        mentions = mentions.withWatermark("warc_ts", watermark)
+    return mentions.groupBy(
+        F.window("warc_ts", window).alias("w"), "norm"
+    ).agg(F.count("*").alias("n_mentions")).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "norm",
+        "n_mentions",
+    )
+
+
+# output/state schemas for the custom stateful tracker
+_TRACK_OUT = (
+    "norm string, total long, batch_new long, first_ts timestamp, last_ts timestamp"
+)
+_TRACK_STATE = "total long, first_ts timestamp, last_ts timestamp"
+
+
+def entity_mention_tracker(mentions: DataFrame, timeout: str = "NoTimeout"):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per normalized name, maintain a running mention count and
+    first/last-seen event times across micro-batches, emitting one update
+    row per (name, batch). This is the streaming analog of the
+    reference's incrementally-updated mention statistics — state keyed by
+    the same column the batch pipeline clusters on.
+
+    Arrow-batched: each group's rows arrive as pandas DataFrames; no
+    per-row Python."""
+    import pandas as pd  # noqa: F401 (workers need it imported lazily)
+
+    def track(key, pdfs, state):
+        total0, first0, last0 = (
+            state.get if state.exists else (0, None, None)
+        )
+        n = 0
+        first, last = first0, last0
+        for pdf in pdfs:
+            n += len(pdf)
+            bmin, bmax = pdf["warc_ts"].min(), pdf["warc_ts"].max()
+            first = bmin if first is None or bmin < first else first
+            last = bmax if last is None or bmax > last else last
+        state.update((total0 + n, first, last))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "norm": [key[0]],
+                "total": [total0 + n],
+                "batch_new": [n],
+                "first_ts": [first],
+                "last_ts": [last],
+            }
+        )
+
+    # outputMode "append": each emitted (norm, batch) row is final — the
+    # running total lives in the state store, not in retracted rows —
+    # which keeps file sinks (append-only) usable
+    return mentions.select("norm", "warc_ts").groupBy("norm").applyInPandasWithState(
+        track, _TRACK_OUT, _TRACK_STATE, "append", timeout
+    )
+
+
 def run_incremental_ingest(
     spark: SparkSession,
     input_dir: str,

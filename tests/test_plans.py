@@ -1,0 +1,89 @@
+"""Physical-plan assertions: the plan properties the 100-TB design relies
+on must actually appear in the optimized plans — filters pushed to the
+parquet scan, column pruning in ReadSchema, broadcast joins for small
+dims, whole-stage codegen on the hot relational paths."""
+
+from __future__ import annotations
+
+import io
+import os
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+needs_data = pytest.mark.skipif(not os.path.exists(SF), reason="testdata absent")
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@needs_data
+def test_lang_filter_pushes_to_pages_scan(spark, small_corpus, tmp_path):
+    """extracted_pages' language filter must reach the parquet scan —
+    at 100 TB this is the difference between scanning the corpus and
+    scanning one language's slice."""
+    from character_identification_spark.ingest.extract import extracted_pages
+
+    pages, _ = small_corpus
+    p = str(tmp_path / "pages")
+    pages.write.parquet(p)
+    plan = plan_of(extracted_pages(spark.read.parquet(p), "en"))
+    assert "PushedFilters" in plan
+    # the lang predicate appears among the pushed filters
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("lang" in ln for ln in pushed), pushed
+
+
+@needs_data
+def test_projection_prunes_parquet_schema(spark):
+    """A two-column projection must read a two-column schema."""
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = plan_of(d.filter(F.length("text") > 0))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "doc_id" in read[0] and "text" in read[0]
+    assert "lang" not in read[0] and "url" not in read[0]
+
+
+@needs_data
+def test_dim_join_is_broadcast(spark):
+    from character_identification_spark.driver_contract import QUERIES
+
+    plan = plan_of(QUERIES["order_enrich_broadcast"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@needs_data
+def test_hot_relational_path_is_codegen(spark):
+    from character_identification_spark.driver_contract import QUERIES
+
+    # an unexecuted AdaptiveSparkPlan reports 0 codegen subtrees; disable
+    # AQE for the static-plan inspection (execution behavior unchanged)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for q in ("tpch_q1", "text_token_counts", "events_type_share"):
+            df = QUERIES[q](spark, SF)
+            cg = plan_of(df, mode="codegen")
+            assert (
+                "WholeStageCodegen" in cg and "Found 0 WholeStageCodegen" not in cg
+            ), q
+            # no Python evaluation nodes on these paths
+            assert "BatchEvalPython" not in plan_of(df), q
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+@needs_data
+def test_shipdate_filter_pushes_down(spark):
+    from character_identification_spark.driver_contract import QUERIES
+
+    plan = plan_of(QUERIES["tpch_q1"](spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), pushed

@@ -37,3 +37,98 @@ def test_incremental_ingest_matches_batch(spark, small_corpus, tmp_path):
     a = sorted(map(tuple, streamed.select("mention_uid", "norm").collect()))
     b = sorted(map(tuple, batch.select("mention_uid", "norm").collect()))
     assert a == b  # streaming == batch, byte-identical extraction
+
+
+def test_windowed_counts_stream_equals_batch(spark, small_corpus, tmp_path):
+    """The watermarked tumbling aggregation produces the SAME result run
+    as a stream (availableNow over file drops) and as a batch query."""
+    from character_identification_spark.streaming.incremental import (
+        stream_pages,
+        windowed_mention_counts,
+    )
+
+    pages, _ = small_corpus
+    in_dir = str(tmp_path / "drops")
+    pages.write.mode("append").parquet(in_dir)
+
+    batch = windowed_mention_counts(pages)
+    # complete mode + memory sink: append mode would hold back windows the
+    # watermark hasn't passed yet (correct streaming semantics, but the
+    # parity check wants the full window state)
+    q = (
+        windowed_mention_counts(stream_pages(spark, in_dir))
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.sql("SELECT * FROM win_counts")
+    a = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_entity_mention_tracker_state_accumulates(spark, small_corpus, tmp_path):
+    """applyInPandasWithState custom stateful operator: totals accumulate
+    across micro-batches and match the batch group counts."""
+    from character_identification_spark.ingest.extract import extracted_pages
+    from character_identification_spark.ingest.mentions import extract_mentions
+    from character_identification_spark.streaming.incremental import (
+        entity_mention_tracker,
+    )
+
+    pages, _ = small_corpus
+    in_dir = str(tmp_path / "drops")
+    first = pages.filter(F.crc32("url") % 2 == 0)
+    second = pages.filter(F.crc32("url") % 2 == 1)
+    first.write.mode("append").parquet(in_dir)
+
+    def run_pass():
+        stream = (
+            spark.readStream.schema(
+                "url string, warc_ts timestamp, html binary, text string, lang string"
+            ).parquet(in_dir)
+        )
+        mentions = extract_mentions(extracted_pages(stream, "en"), with_ts=True)
+        out_dir = str(tmp_path / "track_out")
+        q = (
+            entity_mention_tracker(mentions)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "track_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir)
+
+    run_pass()
+    second.write.mode("append").parquet(in_dir)
+    out = run_pass()
+
+    # latest total per norm == the batch count; batch_new sums to total
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("norm").orderBy(F.desc("total"))
+    latest = (
+        out.withColumn("rk", F.row_number().over(w)).filter("rk = 1")
+        .select("norm", "total")
+    )
+    batch = (
+        extract_mentions(extracted_pages(pages, "en"))
+        .groupBy("norm").agg(F.count("*").alias("n"))
+    )
+    diff = (
+        latest.join(batch, "norm")
+        .filter(F.col("total") != F.col("n"))
+        .count()
+    )
+    assert diff == 0
+    sums = (
+        out.groupBy("norm").agg(F.sum("batch_new").alias("s"))
+        .join(batch, "norm").filter(F.col("s") != F.col("n")).count()
+    )
+    assert sums == 0
