@@ -40,6 +40,12 @@ from character_identification_spark.operators.cc import (
     attach_singletons,
     connected_components,
 )
+from character_identification_spark.operators.curation import (
+    keep_best_per_cluster,
+    pii_scrub,
+    repetition_stats,
+    url_dedup,
+)
 from character_identification_spark.operators.dedup import (
     dedup_clusters,
     embedding_dup_pairs,
@@ -357,6 +363,98 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").alias("n_tokens"),
         bpe_ish_token_count("text").alias("n_bpe"),
     )
+
+
+# ===========================================================================
+# Curation: URL dedup, repetition stats, PII scrub, keep-best selection
+# ===========================================================================
+
+
+def _docs_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic URLs over documents: scheme/www/default-port
+    casing variants (doc_id % 3), tracking params (% 5), fragments (% 7),
+    trailing slashes (% 2) — path identity is doc_id % 100, so
+    canonicalization must collapse the surface variants onto it."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    did = F.col("doc_id")
+    key = (did % 100).cast("string")
+    prefix = (
+        F.when(did % 3 == 0, F.lit("HTTPS://WWW.Example.COM:443"))
+        .when(did % 3 == 1, F.lit("https://example.com"))
+        .otherwise(F.lit("http://Example.Com:80"))
+    )
+    query = (
+        F.when(did % 5 == 0, F.concat(F.lit("?utm_source=feed&id="), key))
+        .when(did % 5 == 1, F.concat(F.lit("?id="), key, F.lit("&utm_campaign=x")))
+        .when(did % 5 == 2, F.lit("?gclid=abc"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(did % 7 == 0, F.lit("#section-2")).otherwise(F.lit(""))
+    slash = F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit(""))
+    return d.select(
+        "doc_id",
+        F.concat(prefix, F.lit("/Docs/"), key, slash, query, frag).alias("url"),
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return url_dedup(_docs_urls(spark, sf_dir))
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII demo corpus: deterministic emails / phones / IPv4s appended to
+    some documents (the synthetic text itself carries none), mirrored
+    verbatim in the DuckDB oracle."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact alice."), did.cast("string"), F.lit("@Example-Mail.org")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" call +1 (555) 010-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return pii_scrub(d.select("doc_id", aug.alias("text")))
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection over the MinHash dup clusters: the
+    highest-quality member of each cluster survives (exact/truncated
+    copies differ in quality via the length term)."""
+    docs = _docs_aug(spark, sf_dir)
+    pairs = minhash_dup_pairs(
+        docs, n_gram=3, num_hashes=16, band_size=2, jaccard_threshold=0.7,
+        max_bucket_size=1000,
+    )
+    clusters = dedup_clusters(pairs, docs)
+    quality = text_stats(docs).select("doc_id", "quality")
+    return keep_best_per_cluster(clusters, quality)
 
 
 # ===========================================================================
@@ -762,6 +860,10 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_ngram_jaccard_verify": q_dedup_ngram_jaccard_verify,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
+    "url_dedup": q_url_dedup,
+    "text_repetition": q_text_repetition,
+    "pii_scrub": q_pii_scrub,
+    "dedup_keep_best": q_dedup_keep_best,
     "text_stats": q_text_stats,
     "text_language_id": q_text_language_id,
     "text_fingerprint": q_text_fingerprint,

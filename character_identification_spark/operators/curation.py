@@ -1,0 +1,193 @@
+"""Corpus-curation operators a web-scale training-data pipeline runs
+before/around dedup: URL canonicalization + URL-level dedup, Gopher-style
+repetition statistics, PII scrubbing, and best-document selection per
+duplicate cluster.
+
+Beyond-reference components (the reference corpus is curated TV-show JSON;
+a Common-Crawl-style corpus needs these to reach the same cleanliness).
+All JVM-side: canonical_url/pii_scrub are chained regexp projections that
+Catalyst fuses into the scan; repetition_stats is explode → two keyed
+aggregations (shuffle key doc_id — uniform, linear in token count);
+keep_best_per_cluster is a window over cluster ids. Every value is a pure
+function of the input so the DuckDB oracles replay them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Scheme+host prefix of a URL (through the authority, before path/query/
+# fragment). Kept identical in the DuckDB oracle — conservative regex
+# syntax that Java's engine and RE2 interpret the same way.
+_SCHEME_HOST = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
+# Query parameters that never change page identity (analytics trackers).
+_TRACKING = r"[?&](utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&#]*"
+
+
+def canonical_url(col) -> Column:
+    """Canonical form of a URL: scheme+host lowercased, leading ``www.``
+    and default ports (:443 https / :80 http) stripped, fragment removed,
+    tracking parameters (utm_*, fbclid, gclid, msclkid) removed, dangling
+    ``?``/``&`` and trailing slashes trimmed. Path/query case and order
+    are preserved (they are identity-bearing)."""
+    u = F.col(col) if isinstance(col, str) else col
+    sh = F.lower(F.regexp_extract(u, _SCHEME_HOST, 0))
+    sh = F.regexp_replace(sh, r"^(https?://)www\.", "$1")
+    sh = F.regexp_replace(sh, r"^(https://[^:]*):443$", "$1")
+    sh = F.regexp_replace(sh, r"^(http://[^:]*):80$", "$1")
+    rest = F.regexp_replace(u, _SCHEME_HOST, "")
+    rest = F.regexp_replace(rest, r"#.*$", "")  # fragment
+    rest = F.regexp_replace(rest, _TRACKING, "")
+    # if the '?' itself was consumed (first param was a tracker), promote
+    # the first '&' back to '?'
+    rest = F.regexp_replace(rest, r"^([^?&]*)&", "$1?")
+    rest = F.regexp_replace(rest, r"\?$", "")
+    rest = F.regexp_replace(rest, r"/+$", "")
+    return F.concat(sh, rest)
+
+
+def url_dedup(
+    docs: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """→ (canonical_url, keep_id, n_copies): URL-level exact dedup after
+    canonicalization — the cheapest dedup tier in a crawl pipeline (runs
+    before any content hashing). One shuffle on the canonical URL; keys
+    are uniform (hot hosts spread across paths)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("_id"), canonical_url(url_col).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min("_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _grams(toks: Column, n: int) -> Column:
+    """All word n-grams (with multiplicity — unlike dedup.word_shingles).
+    Docs shorter than n tokens contribute one truncated gram (the whole
+    doc), mirroring word_shingles' floor behavior."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """→ (doc_id, top2_char_frac, top3_char_frac, dup5_frac): Gopher-style
+    repetition filters — fraction of characters covered by the most
+    frequent word 2-/3-gram (count × gram length / text length) and the
+    duplicate fraction of 5-gram occurrences (1 − distinct/total). High
+    values flag boilerplate/spam for removal before training.
+
+    Dataflow: one explode over the union of gram sizes, then two
+    aggregations keyed by doc_id — linear volume, uniform shuffle keys.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.length(text_col).alias("n_chars")
+    )
+    ex = None
+    for n in (2, 3, 5):
+        part = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(n).alias("n"),
+            F.explode(_grams(toks, n)).alias("gram"),
+        )
+        ex = part if ex is None else ex.unionByName(part)
+    cnt = ex.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = cnt.groupBy("doc_id", "n").agg(
+        F.max(F.col("cnt") * F.length("gram")).alias("top_chars"),
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    piv = agg.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, F.col("top_chars"))).alias("top2_chars"),
+        F.max(F.when(F.col("n") == 3, F.col("top_chars"))).alias("top3_chars"),
+        F.max(F.when(F.col("n") == 5, F.col("total"))).alias("g5_total"),
+        F.max(F.when(F.col("n") == 5, F.col("n_distinct"))).alias("g5_distinct"),
+    )
+    return base.join(piv, "doc_id", "left").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.col("top2_chars") / F.col("n_chars").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("top2_char_frac"),
+        F.round(
+            F.coalesce(F.col("top3_chars") / F.col("n_chars").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("top3_char_frac"),
+        F.round(
+            F.coalesce(
+                1.0 - F.col("g5_distinct") / F.col("g5_total").cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("dup5_frac"),
+    )
+
+
+# PII patterns — conservative syntax interpreted identically by Java's
+# regex engine and DuckDB's RE2. Applied in this order (emails contain
+# digits; IPv4 octet runs are too short for the phone pattern either way).
+EMAIL_RE = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """→ (doc_id, n_emails, n_ipv4, n_phones, redacted_digest): count PII
+    matches on the original text and emit the md5 of the redacted text
+    (emails → <EMAIL>, IPv4 → <IP>, phone runs → <PHONE>, applied in that
+    order). Pure narrow projection — fuses into the scan; the digest lets
+    downstream stages verify redaction without re-shipping the text."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(IPV4_RE)).alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
+        F.md5(red).alias("redacted_digest"),
+    )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    quality: DataFrame,
+    cluster_col: str = "dup_group",
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """→ (dup_group, keep_doc_id, quality, n_members): canonical-document
+    selection — per duplicate cluster, keep the member with the highest
+    quality score (ties → lowest id). The standard "which copy survives
+    dedup" policy when copies differ (truncation, boilerplate). Window
+    over cluster ids; cluster sizes are bounded by the dedup caps
+    upstream, so no skewed partitions."""
+    j = clusters.select(cluster_col, id_col).join(
+        quality.select(id_col, quality_col), id_col
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("_rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy(cluster_col)))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col(cluster_col).alias("dup_group"),
+            F.col(id_col).alias("keep_doc_id"),
+            F.col(quality_col).alias("quality"),
+            "n_members",
+        )
+    )

@@ -674,6 +674,174 @@ FROM documents
 """
 
 # --------------------------------------------------------------------------
+# Curation: URL dedup, repetition stats, PII scrub, keep-best selection
+# --------------------------------------------------------------------------
+
+# twin of curation.canonical_url over a column named url (RE2 rewrite
+# syntax \1; the tracking-param replace needs 'g' — DuckDB replaces only
+# the first match by default, Spark replaces all)
+_CANON_URL = r"""
+regexp_replace(regexp_replace(regexp_replace(
+  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*', 0)),
+  '^(https?://)www\.', '\1'),
+  '^(https://[^:]*):443$', '\1'),
+  '^(http://[^:]*):80$', '\1')
+||
+regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*', ''),
+  '#.*$', ''),
+  '[?&](utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
+  '^([^?&]*)&', '\1?'),
+  '\?$', ''),
+  '/+$', '')
+"""
+
+SQL_URL_DEDUP = (
+    r"""
+WITH u AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         (CASE doc_id % 3 WHEN 0 THEN 'HTTPS://WWW.Example.COM:443'
+                          WHEN 1 THEN 'https://example.com'
+                          ELSE 'http://Example.Com:80' END)
+         || '/Docs/' || CAST(doc_id % 100 AS VARCHAR)
+         || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+         || (CASE doc_id % 5
+               WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR)
+               WHEN 1 THEN '?id=' || CAST(doc_id % 100 AS VARCHAR) || '&utm_campaign=x'
+               WHEN 2 THEN '?gclid=abc' ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+  FROM documents
+),
+c AS (SELECT doc_id, """
+    + _CANON_URL
+    + r""" AS canonical_url FROM u)
+SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM c GROUP BY canonical_url
+"""
+)
+
+SQL_TEXT_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+         CAST(len(text) AS INTEGER) AS n_chars
+  FROM documents
+),
+g AS (
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+  FROM t
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS gram
+  FROM t
+  UNION ALL
+  SELECT doc_id, 5 AS n,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+                i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS gram
+  FROM t
+),
+c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY doc_id, n, gram),
+a AS (SELECT doc_id, n, max(cnt * len(gram)) AS top_chars, sum(cnt) AS total,
+             count(*) AS n_distinct
+      FROM c GROUP BY doc_id, n)
+SELECT t.doc_id,
+       round(coalesce(max(CASE WHEN a.n = 2 THEN a.top_chars END)
+                      / CAST(t.n_chars AS DOUBLE), 0.0), 6) AS top2_char_frac,
+       round(coalesce(max(CASE WHEN a.n = 3 THEN a.top_chars END)
+                      / CAST(t.n_chars AS DOUBLE), 0.0), 6) AS top3_char_frac,
+       round(coalesce(1.0 - max(CASE WHEN a.n = 5 THEN a.n_distinct END)
+                      / CAST(max(CASE WHEN a.n = 5 THEN a.total END) AS DOUBLE),
+                      0.0), 6) AS dup5_frac
+FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+GROUP BY t.doc_id, t.n_chars
+"""
+
+_PII_EMAIL = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+SQL_PII_SCRUB = rf"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         text
+         || (CASE WHEN doc_id % 3 = 0
+              THEN ' contact alice.' || CAST(doc_id AS VARCHAR) || '@Example-Mail.org'
+              ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 0
+              THEN ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0
+              THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.' || CAST(doc_id % 100 AS VARCHAR)
+              ELSE '' END) AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS INTEGER) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INTEGER) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4}', '<IP>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_digest
+FROM d
+"""
+
+SQL_DEDUP_KEEP_BEST = (
+    "WITH RECURSIVE "
+    + _DOCS
+    + ","
+    + _DEDUP_MINHASH_VERIFIED
+    + r""",
+edges AS (SELECT id1 AS u, id2 AS v FROM verified WHERE jaccard >= 0.7),
+"""
+    + _closure("edges")
+    + r""",
+clusters AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS dup_group
+  FROM (SELECT doc_id FROM docs) d LEFT JOIN comp c ON d.doc_id = c.node
+),
+tq0 AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         CAST(len(text) AS INTEGER) AS n_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens
+  FROM docs
+),
+tq1 AS (
+  SELECT doc_id, n_chars, n_tokens,
+         round((n_chars - len(regexp_replace(text, '[^\w\s]', '', 'g')))
+               / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+         round((n_chars - len(regexp_replace(text, '[0-9]', '', 'g')))
+               / CAST(n_chars AS DOUBLE), 6) AS digit_ratio,
+         round(len(list_distinct(toks)) / CAST(n_tokens AS DOUBLE), 6) AS uniq_token_ratio,
+         round(len(list_filter(toks, x -> list_contains(
+                 ['the','and','of','to','a','in','is','that','it','for'], lower(x))))
+               / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio
+  FROM tq0
+),
+quality AS (
+  SELECT doc_id,
+         round(0.25 * least(n_tokens / 50.0, 1.0)
+               + 0.25 * (1.0 - least(punct_ratio * 4.0, 1.0))
+               + 0.2 * (1.0 - least(digit_ratio * 4.0, 1.0))
+               + 0.15 * uniq_token_ratio
+               + 0.15 * least(stopword_ratio * 5.0, 1.0), 6) AS quality
+  FROM tq1
+)
+SELECT dup_group, keep_doc_id, quality, n_members FROM (
+  SELECT cl.dup_group, cl.doc_id AS keep_doc_id, q.quality,
+         row_number() OVER (PARTITION BY cl.dup_group
+                            ORDER BY q.quality DESC, cl.doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY cl.dup_group) AS n_members
+  FROM clusters cl JOIN quality q ON cl.doc_id = q.doc_id
+) WHERE rk = 1
+"""
+)
+
+# --------------------------------------------------------------------------
 # Similarity
 # --------------------------------------------------------------------------
 
@@ -1090,6 +1258,10 @@ ORACLES = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_ngram_jaccard_verify": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_pairs": SQL_DEDUP_EMBEDDING_PAIRS,
+    "url_dedup": SQL_URL_DEDUP,
+    "text_repetition": SQL_TEXT_REPETITION,
+    "pii_scrub": SQL_PII_SCRUB,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "text_stats": SQL_TEXT_STATS,
     "text_language_id": SQL_TEXT_LANGUAGE_ID,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,

@@ -1,0 +1,114 @@
+"""Curation operators: URL canonicalization/dedup, repetition stats,
+PII scrubbing, keep-best-per-cluster selection."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from character_identification_spark.operators.curation import (
+    canonical_url,
+    keep_best_per_cluster,
+    pii_scrub,
+    repetition_stats,
+    url_dedup,
+)
+
+
+def _canon_one(spark, url: str) -> str:
+    return (
+        spark.range(1).select(canonical_url(F.lit(url)).alias("c")).collect()[0]["c"]
+    )
+
+
+def test_canonical_url_rules(spark):
+    cases = {
+        # scheme+host lowering, www and default-port stripping
+        "HTTPS://WWW.Example.COM:443/A/b": "https://example.com/A/b",
+        "http://Example.Com:80/x": "http://example.com/x",
+        # non-default port survives
+        "https://example.com:8443/x": "https://example.com:8443/x",
+        # fragment removed, trailing slash trimmed
+        "https://example.com/a/#frag": "https://example.com/a",
+        # tracking params removed; '?' re-promoted when the first param dies
+        "https://example.com/a?utm_source=x&id=2": "https://example.com/a?id=2",
+        "https://example.com/a?id=2&utm_campaign=y&fbclid=z": "https://example.com/a?id=2",
+        "https://example.com/a?gclid=j": "https://example.com/a",
+        # path case preserved (identity-bearing)
+        "https://example.com/Docs/X": "https://example.com/Docs/X",
+    }
+    for raw, want in cases.items():
+        assert _canon_one(spark, raw) == want, raw
+
+
+def test_url_dedup_groups(spark):
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/a?utm_source=f"),
+        (2, "https://example.com/a/"),
+        (3, "https://example.com/a#frag"),
+        (4, "https://example.com/b"),
+    ]
+    out = {
+        r["canonical_url"]: (r["keep_id"], r["n_copies"])
+        for r in url_dedup(
+            spark.createDataFrame(rows, ["doc_id", "url"])
+        ).collect()
+    }
+    assert out == {
+        "https://example.com/a": (1, 3),
+        "https://example.com/b": (4, 1),
+    }
+
+
+def test_repetition_stats_values(spark):
+    # "spam spam spam spam": top bigram "spam spam" occurs 3×, 9 chars each
+    # over 19 chars; all three 5-grams (floored to one whole-doc gram) are
+    # unique → dup5 0. "a b c d e f" has no repeats at all.
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "a b c d e f"), (3, "x y x y x y x y")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["top2_char_frac"] == round(3 * 9 / 19.0, 6)
+    assert out[2]["top2_char_frac"] == round(3 / 11.0, 6)  # every bigram once
+    assert out[2]["dup5_frac"] == 0.0
+    # doc 3: 5-grams of 8 tokens = 4 occurrences, 2 distinct → dup 0.5
+    assert out[3]["dup5_frac"] == 0.5
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org or sue@a.io now"),
+            (2, "call +1 (555) 010-9921 or 555-010-8844 today"),
+            (3, "host 10.0.3.44 and 192.168.0.1 up"),
+            (4, "clean text only"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phones"]) == (2, 0, 0)
+    assert (out[2]["n_emails"], out[2]["n_ipv4"], out[2]["n_phones"]) == (0, 0, 2)
+    assert (out[3]["n_emails"], out[3]["n_ipv4"], out[3]["n_phones"]) == (0, 2, 0)
+    assert out[4]["n_emails"] == out[4]["n_ipv4"] == out[4]["n_phones"] == 0
+    # digest equals md5 of the expected redacted strings
+    want1 = "mail <EMAIL> or <EMAIL> now"
+    got = (
+        spark.range(1).select(F.md5(F.lit(want1)).alias("h")).collect()[0]["h"]
+    )
+    assert out[1]["redacted_digest"] == got
+
+
+def test_keep_best_picks_highest_quality(spark):
+    clusters = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1), (20, 20)], ["doc_id", "dup_group"]
+    )
+    quality = spark.createDataFrame(
+        [(10, 0.4), (11, 0.9), (12, 0.9), (20, 0.1)], ["doc_id", "quality"]
+    )
+    out = {
+        r["dup_group"]: r
+        for r in keep_best_per_cluster(clusters, quality).collect()
+    }
+    # tie on quality 0.9 → lowest doc_id wins
+    assert (out[1]["keep_doc_id"], out[1]["n_members"]) == (11, 3)
+    assert (out[20]["keep_doc_id"], out[20]["n_members"]) == (20, 1)
