@@ -14,9 +14,11 @@ signals, all expressed as DataFrame ops:
            closest-previous-speaker prior (re-derived from
            baseline/tools/ioutils.py:139-151 semantics)
   p3m/p3f  third-person pronouns → nearest preceding cast-name mention
-           with a compatible gender hint (functions/lexicon.py — the C8
-           gender-distribution analog); fallback: nearest preceding name
-           of unknown/compatible gender that isn't the current speaker;
+           with a compatible gender hint that is NOT the current speaker
+           (functions/lexicon.py — the C8 gender-distribution analog;
+           strategy selected by measurement, see P3_MODES and the sweep
+           table in BASELINE.md); fallback: nearest preceding name of
+           unknown/compatible gender that isn't the current speaker;
            final fallback: a per-scene gender pool (all unresolved "he"
            of a scene co-refer — the scene's discourse topic)
   name     surface matched against the cast (distinct utterance speakers)
@@ -140,10 +142,23 @@ def match_names_to_cast(name_mentions: DataFrame, cast: DataFrame) -> DataFrame:
     )
 
 
+#: selectable third-person strategies (tools/measure_transcript_rules.py
+#: measures each on the reference dev set; the default is the measured
+#: best — see BASELINE.md for the sweep table)
+P3_MODES = (
+    "near_gender_pool",        # nearest preceding gender-match, any-gender fallback
+    "near_gender_xspk_pool",   # … with the current speaker excluded from gendered cands
+    "near_gender_xboth_pool",  # … current AND previous speaker excluded
+    "freq_gender_pool",        # most FREQUENT preceding gender-match (scene topic prior)
+    "near_gender_cata_pool",   # … plus cataphora fallback (nearest following name)
+)
+
+
 def link_transcript_mentions(
     utterances: DataFrame,
     mentions: DataFrame,
     label_vocab: tuple[str, ...] | None = None,
+    p3_mode: str = "near_gender_xspk_pool",
 ) -> DataFrame:
     """mentions(mention_uid, utterance_id, utt_idx, sent_idx, begin,
     surface, block_key=scene_id) + utterances → assignments
@@ -188,22 +203,29 @@ def link_transcript_mentions(
 
     # second pass: third-person antecedents from preceding NAME mentions
     # (document order within the scene; one scene of structs per window)
-    w = Window.partitionBy("scene_id").orderBy(
+    if p3_mode not in P3_MODES:
+        raise ValueError(f"p3_mode {p3_mode!r} not in {P3_MODES}")
+    order = Window.partitionBy("scene_id").orderBy(
         "utt_idx", "sent_idx", "begin", "mention_uid"
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    prior_names = F.collect_list(
-        F.when(
-            (F.col("kind") == "name") & F.col("ref0").isNotNull(),
-            F.struct(
-                F.col("ref0").alias("ref"), label_gender("ref0").alias("g")
+    )
+    name_struct = F.when(
+        (F.col("kind") == "name") & F.col("ref0").isNotNull(),
+        F.struct(F.col("ref0").alias("ref"), label_gender("ref0").alias("g")),
+    )
+    prior_names = F.collect_list(name_struct).over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = m.withColumn("prior_names", F.reverse(prior_names))
+    if p3_mode == "near_gender_cata_pool":
+        m = m.withColumn(
+            "next_names",
+            F.collect_list(name_struct).over(
+                order.rowsBetween(1, Window.unboundedFollowing)
             ),
         )
-    ).over(w)
-    m = m.withColumn("prior_names", F.reverse(prior_names))
     mg, spk = F.col("mg"), F.col("spk")
-    cand_gender = F.try_element_at(
-        F.filter("prior_names", lambda x: x["g"] == mg), F.lit(1)
-    )["ref"]
+    gendered = F.filter("prior_names", lambda x: x["g"] == mg)
+    cand_gender = F.try_element_at(gendered, F.lit(1))["ref"]
     cand_any = F.try_element_at(
         F.filter(
             "prior_names",
@@ -211,11 +233,48 @@ def link_transcript_mentions(
         ),
         F.lit(1),
     )["ref"]
+    if p3_mode in ("near_gender_xspk_pool", "near_gender_xboth_pool"):
+        # "he"/"she" rarely refers to a conversation participant: skip
+        # gendered antecedents equal to the current (and for xboth the
+        # previous) speaker — null-safe, a null speaker excludes nothing
+        prev = F.col("prev_spk")
+        excl = (
+            (lambda x: F.coalesce(x["ref"] != spk, F.lit(True))
+             & F.coalesce(x["ref"] != prev, F.lit(True)))
+            if p3_mode == "near_gender_xboth_pool"
+            else (lambda x: F.coalesce(x["ref"] != spk, F.lit(True)))
+        )
+        primary = F.try_element_at(
+            F.filter("prior_names", lambda x: (x["g"] == mg) & excl(x)),
+            F.lit(1),
+        )["ref"]
+        p3_ref = F.coalesce(primary, cand_any)
+    elif p3_mode == "freq_gender_pool":
+        # scene-topic prior: the most FREQUENTLY named gender-match so far;
+        # ties break to the most recent (smallest first-occurrence index in
+        # the recency-ordered list)
+        refs = F.transform(gendered, lambda x: x["ref"])
+        best = F.array_max(
+            F.transform(
+                F.array_distinct(refs),
+                lambda r: F.struct(
+                    F.size(F.filter(refs, lambda y: y == r)).alias("cnt"),
+                    (-F.array_position(refs, r)).alias("recency"),
+                    r.alias("ref"),
+                ),
+            )
+        )["ref"]
+        p3_ref = F.coalesce(best, cand_any)
+    elif p3_mode == "near_gender_cata_pool":
+        cand_fut = F.try_element_at(
+            F.filter("next_names", lambda x: x["g"] == mg), F.lit(1)
+        )["ref"]
+        p3_ref = F.coalesce(cand_gender, cand_any, cand_fut)
+    else:  # near_gender_pool
+        p3_ref = F.coalesce(cand_gender, cand_any)
     m = m.withColumn(
         "auto_ref",
-        F.when(
-            F.col("kind").isin("p3m", "p3f"), F.coalesce(cand_gender, cand_any)
-        ).otherwise(F.col("ref0")),
+        F.when(F.col("kind").isin("p3m", "p3f"), p3_ref).otherwise(F.col("ref0")),
     )
     # F4 coarsening applies to the LINKING label only (the reference
     # coarsens the refs fed to its linking classifier, system.py:189-193);
@@ -227,6 +286,9 @@ def link_transcript_mentions(
 
         m = m.withColumn("auto_ref", coarsen_to_vocab("auto_ref", label_vocab))
 
+    # (measured and rejected: clustering unresolved same-norm NAME mentions
+    # per scene — dev F1 −0.0005; same-surface strangers sharing a scene
+    # slightly outnumber repeated uncast characters)
     key = F.coalesce(
         F.col("ref_raw"),
         F.when(F.col("mg").isNotNull(), F.concat(F.lit("g:"), F.col("mg"))),

@@ -4,7 +4,7 @@ fixtures. Executes the adapter (SURVEY §2 S1-S4, F1-F3), the scene-scoped
 deterministic linker, and the full evaluator suite; the committed
 measurements live in BASELINE.md.
 
-Honest gate: pairwise F1 ≥ 0.73 on dev (measured 0.7383) — far below the
+Honest gate: pairwise F1 ≥ 0.74 on dev (measured 0.7407) — far below the
 0.99 aspiration, because ~60% of real mentions are pronouns and "he"/"you"
 resolution beyond speaker priors needs the reference's learned model.
 Precision stays ≥ 0.85: the deterministic rules rarely over-merge.
@@ -114,8 +114,8 @@ def test_dev_harness_pairwise_gate(dev):
     utt, gold = dev
     assign = link_transcript_mentions(utt, gold)
     ev = pairwise_f1(assign, gold_pairs_from_mentions(gold))
-    assert ev["precision"] >= 0.85
-    assert ev["f1"] >= 0.73  # measured 0.7383 — see BASELINE.md
+    assert ev["precision"] >= 0.88
+    assert ev["f1"] >= 0.74  # measured 0.7407 — see BASELINE.md
 
 
 @needs_ref
@@ -127,11 +127,11 @@ def test_dev_full_evaluator_suite(dev):
     # the coreferent cell of Blanc IS pairwise F1 — same confusion cell
     pw = pairwise_f1(assign, gp)
     assert abs(bl["f_coref"] - pw["f1"]) < 1e-9
-    assert bl["f1"] >= 0.80  # measured 0.818
+    assert bl["f1"] >= 0.82  # measured 0.8208
     ce = ceaf_e(assign, gold)
-    assert 0.55 <= ce["f1"] <= 1.0  # measured 0.629
+    assert 0.55 <= ce["f1"] <= 1.0  # measured 0.6316
     mac = linking_macro_f1(assign, gold)
-    assert mac["f1"] >= 0.70  # measured 0.724
+    assert mac["f1"] >= 0.72  # measured 0.7271
     assign.unpersist()
 
 

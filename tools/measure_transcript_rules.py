@@ -1,0 +1,82 @@
+"""Measure the transcript linker's rule variants on the REAL reference
+dev set — the harness behind the BASELINE.md sweep table.
+
+Usage:
+    python tools/measure_transcript_rules.py [dev|tst] [mode ...]
+
+For each p3 strategy (plans/transcript_link.P3_MODES, or the modes given
+on argv) prints pairwise P/R/F1 at scene blocking keys plus per-rule
+accuracy against the singular gold labels. The committed default
+`p3_mode` must be the argmax of this sweep (CLAUDE.md invariant: gate
+thresholds are re-derived from measurements, never loosened ad hoc).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from character_identification_spark.evaluation.pairf1 import (
+    gold_pairs_from_mentions,
+    pairwise_f1,
+)
+from character_identification_spark.fixtures.transcript import (
+    read_transcript_utterances,
+    transcript_gold_mentions,
+)
+from character_identification_spark.plans.transcript_link import (
+    P3_MODES,
+    link_transcript_mentions,
+)
+from character_identification_spark.session import get_spark
+
+
+def rule_accuracy(assign, gold) -> dict[str, tuple[int, int]]:
+    """kind → (correct, total) of auto_ref vs the singular gold label."""
+    lbl = (
+        gold.filter(~F.col("plural") & (F.size("gold_refs") == 1))
+        .select("mention_uid", F.element_at("gold_refs", 1).alias("gold_ref"))
+    )
+    j = assign.join(lbl, "mention_uid").groupBy("kind").agg(
+        F.sum(
+            F.when(F.col("auto_ref") == F.col("gold_ref"), 1).otherwise(0)
+        ).alias("ok"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return {r["kind"]: (r["ok"], r["n"]) for r in j.collect()}
+
+
+def main() -> None:
+    split = sys.argv[1] if len(sys.argv) > 1 else "dev"
+    modes = sys.argv[2:] or list(P3_MODES)
+    path = f"/root/reference/json/character-identification-{split}.json"
+    spark = get_spark(
+        app_name="measure_rules", cores=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    utt = read_transcript_utterances(spark, path)
+    gold = transcript_gold_mentions(utt).cache()
+    gp = gold_pairs_from_mentions(gold).cache()
+    gp.count()
+    for mode in modes:
+        assign = link_transcript_mentions(utt, gold, p3_mode=mode).cache()
+        ev = pairwise_f1(assign, gp)
+        acc = rule_accuracy(assign, gold)
+        accs = " ".join(
+            f"{k}={acc[k][0]}/{acc[k][1]}" for k in sorted(acc)
+        )
+        print(
+            f"{split} {mode:24s} P={ev['precision']:.4f} R={ev['recall']:.4f} "
+            f"F1={ev['f1']:.4f}  {accs}"
+        )
+        assign.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
