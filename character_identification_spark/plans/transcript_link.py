@@ -100,11 +100,15 @@ def cast_table(utterances: DataFrame) -> DataFrame:
 def match_names_to_cast(name_mentions: DataFrame, cast: DataFrame) -> DataFrame:
     """(mention_uid, norm) × cast → (mention_uid, cast_ref or null).
 
-    Three alias families in strict precedence, each applied only when it
+    Four alias families in strict precedence, each applied only when it
     is UNIQUE (ambiguity stays unresolved, never guessed):
       1. exact norm equality
       2. token containment: mention tokens ⊆ cast-name tokens
       3. single-token prefix (≥3 chars) of the cast first name
+      4. single-token fuzzy: levenshtein ≤ 1 to the cast first name
+         (≥5 chars — the nickname family: "phoebs" → "phoebe buffay"),
+         the transcript analog of the web scorer's edit-similarity blend;
+         the ≥5 floor is measured (4-char fuzzes cost test-split F1)
     The cast is broadcast (tiny dim); candidates come from a broadcast
     nested-loop join bounded by |mentions| × |cast|."""
     m = name_mentions.select("mention_uid", "norm").distinct()
@@ -118,19 +122,27 @@ def match_names_to_cast(name_mentions: DataFrame, cast: DataFrame) -> DataFrame:
         & (F.length("norm") >= 3)
         & F.element_at(ct, 1).startswith(F.col("norm"))
     )
+    fuzzy = (
+        (F.size(mt) == 1)
+        & (F.length("norm") >= 5)
+        & (F.levenshtein(F.col("norm"), F.element_at(ct, 1)) <= 1)
+    )
     cand = joined.select(
         "mention_uid",
         "cast_norm",
         exact.alias("is_exact"),
         contained.alias("is_cont"),
         prefix.alias("is_pre"),
-    ).filter(F.col("is_exact") | F.col("is_cont") | F.col("is_pre"))
+        fuzzy.alias("is_fuz"),
+    ).filter(F.col("is_exact") | F.col("is_cont") | F.col("is_pre") | F.col("is_fuz"))
     agg = cand.groupBy("mention_uid").agg(
         F.max(F.when(F.col("is_exact"), F.col("cast_norm"))).alias("exact_ref"),
         F.count_distinct(F.when(F.col("is_cont"), F.col("cast_norm"))).alias("cont_n"),
         F.min(F.when(F.col("is_cont"), F.col("cast_norm"))).alias("cont_ref"),
         F.count_distinct(F.when(F.col("is_pre"), F.col("cast_norm"))).alias("pre_n"),
         F.min(F.when(F.col("is_pre"), F.col("cast_norm"))).alias("pre_ref"),
+        F.count_distinct(F.when(F.col("is_fuz"), F.col("cast_norm"))).alias("fuz_n"),
+        F.min(F.when(F.col("is_fuz"), F.col("cast_norm"))).alias("fuz_ref"),
     )
     return agg.select(
         "mention_uid",
@@ -138,6 +150,7 @@ def match_names_to_cast(name_mentions: DataFrame, cast: DataFrame) -> DataFrame:
             F.col("exact_ref"),
             F.when(F.col("cont_n") == 1, F.col("cont_ref")),
             F.when(F.col("pre_n") == 1, F.col("pre_ref")),
+            F.when(F.col("fuz_n") == 1, F.col("fuz_ref")),
         ).alias("cast_ref"),
     )
 
