@@ -87,3 +87,44 @@ def test_shipdate_filter_pushes_down(spark):
     plan = plan_of(QUERIES["tpch_q1"](spark, SF))
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("l_shipdate" in ln for ln in pushed), pushed
+
+
+@needs_data
+def test_pii_scrub_is_pure_projection(spark):
+    """pii_scrub must compile to a shuffle-free, Python-free projection
+    that fuses into the scan — at 100 TB it runs at read bandwidth."""
+    from character_identification_spark.driver_contract import QUERIES
+
+    df = QUERIES["pii_scrub"](spark, SF)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@needs_data
+def test_url_dedup_single_shuffle(spark):
+    """URL dedup is exactly one hash-aggregate exchange on the canonical
+    url — the cheapest dedup tier must stay one-shuffle."""
+    from character_identification_spark.driver_contract import QUERIES
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # simple mode prints each physical node once (formatted repeats
+        # nodes in the detail section)
+        plan = plan_of(QUERIES["url_dedup"](spark, SF), mode="simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+@needs_data
+def test_repetition_stats_python_free(spark):
+    """Gopher repetition stats stay JVM-side (explode + keyed aggs, no
+    Python) and aggregate partially map-side (partial_ hash aggregates)."""
+    from character_identification_spark.driver_contract import QUERIES
+
+    df = QUERIES["text_repetition"](spark, SF)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_" in plan  # map-side combine before the shuffle

@@ -132,3 +132,37 @@ def test_entity_mention_tracker_state_accumulates(spark, small_corpus, tmp_path)
         .join(batch, "norm").filter(F.col("s") != F.col("n")).count()
     )
     assert sums == 0
+
+
+def test_curation_filters_stream_equals_batch(spark, tmp_path):
+    """The curation projections (PII scrub, quality stats) are stateless —
+    the SAME operator code runs unchanged on a stream (the 100-TB shape:
+    filter every drop at read bandwidth, no state, no watermark)."""
+    from character_identification_spark.operators.curation import pii_scrub
+    from character_identification_spark.operators.textstats import text_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "write to a.b@c.io today"),
+            (2, "plain words only here"),
+            (3, "node 10.0.0.7 rebooted call +1 (555) 010-0000"),
+        ],
+        ["doc_id", "text"],
+    )
+    in_dir = str(tmp_path / "docs")
+    docs.write.parquet(in_dir)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(in_dir)
+
+    for name, op in (("pii_stream", pii_scrub), ("quality_stream", text_stats)):
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        a = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+        b = sorted(map(tuple, op(docs).collect()))
+        assert a == b and len(a) == 3, name
