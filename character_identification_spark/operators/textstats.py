@@ -45,10 +45,17 @@ def bpe_ish_token_count(col) -> Column:
     return F.size(F.split(F.trim(pieces), r"\s+"))
 
 
-def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def text_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """→ (doc_id, n_chars, n_tokens, avg_token_len, punct_ratio,
     digit_ratio, uniq_token_ratio, stopword_ratio, quality): the standard
-    quality-filter feature block (Gopher/C4-style heuristics)."""
+    quality-filter feature block (Gopher/C4-style heuristics). ``keep``
+    carries extra input columns through (e.g. the text itself) so a
+    filter stage stays one scan — no join-back on doc_id."""
     t = F.col(text_col)
     toks = tokens(text_col)
     n_chars = F.length(t)
@@ -63,6 +70,7 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     avg_tok = (n_chars - (n_tokens - 1)) / n_tokens.cast("double")
     stats = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.round(avg_tok, 6).alias("avg_token_len"),
@@ -83,10 +91,16 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     return stats.withColumn("quality", F.round(q, 6))
 
 
-def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def language_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """→ (doc_id, lang_pred, lang_score): argmax over per-language
     stopword-hit ratios; 'und' (undetermined) when nothing scores > 0.
-    Ties break by language code order, deterministically."""
+    Ties break by language code order, deterministically. ``keep`` carries
+    extra input columns through (single-scan filter stages)."""
     toks = F.transform(tokens(text_col), lambda x: F.lower(x))
     scores = []
     for lang in sorted(STOPWORDS):
@@ -99,6 +113,7 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     best = F.array_max(arr)
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
         best["score"].alias("lang_score"),
     )
