@@ -42,7 +42,7 @@ def canonical_url(col) -> Column:
     # if the '?' itself was consumed (first param was a tracker), promote
     # the first '&' back to '?'
     rest = F.regexp_replace(rest, r"^([^?&]*)&", "$1?")
-    rest = F.regexp_replace(rest, r"\?$", "")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
     rest = F.regexp_replace(rest, r"/+$", "")
     return F.concat(sh, rest)
 

@@ -692,7 +692,7 @@ regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
   '#.*$', ''),
   '[?&](utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
   '^([^?&]*)&', '\1?'),
-  '\?$', ''),
+  '[?&]+$', ''),
   '/+$', '')
 """
 

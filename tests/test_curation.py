@@ -112,3 +112,22 @@ def test_keep_best_picks_highest_quality(spark):
     # tie on quality 0.9 → lowest doc_id wins
     assert (out[1]["keep_doc_id"], out[1]["n_members"]) == (11, 3)
     assert (out[20]["keep_doc_id"], out[20]["n_members"]) == (20, 1)
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical_url is a projection onto its own fixed points — applying
+    it twice never changes the result (the invariant that lets the url
+    tier run incrementally: already-canonical urls pass through)."""
+    schemes = ["https://", "HTTP://", "HTTPS://WWW.", ""]
+    hosts = ["Example.COM", "example.com:443", "example.com:8080", "a.b.c"]
+    paths = ["", "/", "/A/b/", "/x//", "/p?utm_a=1", "/p?utm_a=1&id=2",
+             "/p?id=2&utm_b=3&fbclid=z", "/p??", "/p?x=1&", "/p#f", "/p/#f?g",
+             "/p&q=1", "/p?gclid=only"]
+    urls = [s + h + p for s in schemes for h in hosts for p in paths]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    out = df.select(
+        canonical_url("url").alias("c1"),
+        canonical_url(canonical_url("url")).alias("c2"),
+    )
+    bad = out.filter(F.col("c1") != F.col("c2")).collect()
+    assert not bad, bad[:5]
