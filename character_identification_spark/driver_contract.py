@@ -22,7 +22,7 @@ the pairwise-F1 ≥ 0.99 gate lives in tests/ (test_pipeline.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from character_identification_spark.functions.strings import norm_text
@@ -612,6 +612,122 @@ def q_eval_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eval_blanc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Blanc — BOTH cells of the 2×2 link confusion (SURVEY §2 A6 /
+    reference evaluators.py:61-132) — via pair-counting sufficient
+    statistics: gold/auto/both coreferent-pair counts come from group
+    sizes (Σ n·(n−1)/2), never from a materialized pair join, so the
+    evaluator is three aggregations at any corpus size. Auto clustering =
+    4-plane sign-LSH bucket, gold = embedding label (as eval_bcubed)."""
+    from character_identification_spark.operators.similarity import sign_lsh_bucket
+
+    e = _emb_double(spark, sf_dir)
+    m = e.select(
+        "vec_id",
+        sign_lsh_bucket("embedding", F.size(F.col("embedding")), n_planes=4).alias(
+            "cluster_id"
+        ),
+        F.col("label").cast("long").alias("entity"),
+    )
+    pairs2 = lambda c: F.sum(F.col(c) * (F.col(c) - 1)).cast("long")  # noqa: E731
+    # 2× pair counts (avoid /2 until the end: stays integral)
+    both2 = (
+        m.groupBy("cluster_id", "entity")
+        .agg(F.count("*").alias("n"))
+        .agg(pairs2("n").alias("b2"))
+    )
+    auto2 = m.groupBy("cluster_id").agg(F.count("*").alias("n")).agg(
+        pairs2("n").alias("a2")
+    )
+    gold2 = m.groupBy("entity").agg(F.count("*").alias("n")).agg(
+        pairs2("n").alias("g2")
+    )
+    tot2 = m.agg((F.count("*") * (F.count("*") - 1)).cast("long").alias("t2"))
+    s = both2.crossJoin(auto2).crossJoin(gold2).crossJoin(tot2)
+    b, a, gg, t = F.col("b2"), F.col("a2"), F.col("g2"), F.col("t2")
+    rn = t - a - gg + b  # pairs non-coreferent in BOTH
+    pc, rc = b / a.cast("double"), b / gg.cast("double")
+    pn, rnn = rn / (t - a).cast("double"), rn / (t - gg).cast("double")
+    fc = 2 * pc * rc / (pc + rc)
+    fn = 2 * pn * rnn / (pn + rnn)
+    return s.select(
+        F.round(pc, 6).alias("p_coref"),
+        F.round(rc, 6).alias("r_coref"),
+        F.round(fc, 6).alias("f_coref"),
+        F.round(pn, 6).alias("p_non"),
+        F.round(rnn, 6).alias("r_non"),
+        F.round(fn, 6).alias("f_non"),
+        F.round((fc + fn) / 2, 6).alias("blanc"),
+    )
+
+
+def q_eval_linking_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linking micro/macro F1 (SURVEY §2 A6 / reference
+    evaluators.py:158-206): per-label P/R/F1 rows plus the pooled
+    '#macro#' row (the reference's macro evaluator pools correct/gold/
+    auto counts across labels). The demo linker predicts each vector's
+    label as the majority gold label of its sign-LSH bucket — a
+    relational argmax, no model."""
+    from character_identification_spark.operators.similarity import sign_lsh_bucket
+
+    e = _emb_double(spark, sf_dir)
+    m = e.select(
+        "vec_id",
+        sign_lsh_bucket("embedding", F.size(F.col("embedding")), n_planes=4).alias(
+            "cluster_id"
+        ),
+        F.col("label").cast("long").alias("entity"),
+    )
+    cell = m.groupBy("cluster_id", "entity").agg(F.count("*").alias("n"))
+    wmaj = Window.partitionBy("cluster_id").orderBy(
+        F.col("n").desc(), F.col("entity").asc()
+    )
+    maj = (
+        cell.withColumn("_rk", F.row_number().over(wmaj))
+        .filter(F.col("_rk") == 1)
+        .select("cluster_id", F.col("entity").alias("pred"))
+    )
+    pred = m.join(maj, "cluster_id").select("vec_id", "entity", "pred")
+    gold_n = pred.groupBy("entity").agg(F.count("*").alias("gn"))
+    pred_n = pred.groupBy("pred").agg(F.count("*").alias("an"))
+    correct = (
+        pred.filter(F.col("entity") == F.col("pred"))
+        .groupBy("entity")
+        .agg(F.count("*").alias("c"))
+    )
+    per = (
+        gold_n.join(pred_n.withColumnRenamed("pred", "entity"), "entity", "left")
+        .join(correct, "entity", "left")
+        .select(
+            F.col("entity").cast("string").alias("label"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.col("gn"),
+            F.coalesce("an", F.lit(0)).alias("an"),
+        )
+    )
+    p = F.when(F.col("an") > 0, F.col("c") / F.col("an")).otherwise(F.lit(0.0))
+    r = F.when(F.col("gn") > 0, F.col("c") / F.col("gn")).otherwise(F.lit(0.0))
+    f = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+    rows = per.select(
+        "label",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(f, 6).alias("f1"),
+    )
+    pooled = per.agg(
+        F.sum("c").alias("c"), F.sum("gn").alias("gn"), F.sum("an").alias("an")
+    )
+    pp = F.col("c") / F.col("an")
+    pr = F.col("c") / F.col("gn")
+    macro = pooled.select(
+        F.lit("#macro#").alias("label"),
+        F.round(pp, 6).alias("precision"),
+        F.round(pr, 6).alias("recall"),
+        F.round(2 * pp * pr / (pp + pr), 6).alias("f1"),
+    )
+    return rows.unionByName(macro)
+
+
 def q_eval_pairf1_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 multi-membership pairwise F1 (SURVEY §2 M5 + A6): every vector
     belongs to TWO clusters (two independent 4-plane sign-LSH bucketings —
@@ -875,6 +991,8 @@ QUERIES = {
     "text_vocab": q_text_vocab,
     "similarity_lsh_buckets": q_similarity_lsh_buckets,
     "eval_bcubed": q_eval_bcubed,
+    "eval_blanc": q_eval_blanc,
+    "eval_linking_f1": q_eval_linking_f1,
     "eval_pairf1_multi": q_eval_pairf1_multi,
     "asof_prev_event": q_asof_prev_event,
     "asof_join_events": q_asof_join_events,

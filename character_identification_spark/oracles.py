@@ -918,6 +918,93 @@ FROM agg
 """
 )
 
+SQL_EVAL_BLANC = (
+    r"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         CAST(label AS BIGINT) AS entity
+  FROM embeddings
+),
+m AS (SELECT vec_id, """
+    + _LSH_BUCKET_EXPR
+    + r""" AS cluster_id, entity FROM e),
+b2 AS (SELECT CAST(sum(n * (n - 1)) AS BIGINT) AS b2 FROM
+        (SELECT count(*) AS n FROM m GROUP BY cluster_id, entity)),
+a2 AS (SELECT CAST(sum(n * (n - 1)) AS BIGINT) AS a2 FROM
+        (SELECT count(*) AS n FROM m GROUP BY cluster_id)),
+g2 AS (SELECT CAST(sum(n * (n - 1)) AS BIGINT) AS g2 FROM
+        (SELECT count(*) AS n FROM m GROUP BY entity)),
+t2 AS (SELECT CAST(count(*) * (count(*) - 1) AS BIGINT) AS t2 FROM m),
+s AS (SELECT * FROM b2, a2, g2, t2),
+c AS (
+  SELECT b2 / CAST(a2 AS DOUBLE) AS pc, b2 / CAST(g2 AS DOUBLE) AS rc,
+         (t2 - a2 - g2 + b2) / CAST(t2 - a2 AS DOUBLE) AS pn,
+         (t2 - a2 - g2 + b2) / CAST(t2 - g2 AS DOUBLE) AS rn
+  FROM s
+)
+SELECT round(pc, 6) AS p_coref, round(rc, 6) AS r_coref,
+       round(2 * pc * rc / (pc + rc), 6) AS f_coref,
+       round(pn, 6) AS p_non, round(rn, 6) AS r_non,
+       round(2 * pn * rn / (pn + rn), 6) AS f_non,
+       round((2 * pc * rc / (pc + rc) + 2 * pn * rn / (pn + rn)) / 2, 6) AS blanc
+FROM c
+"""
+)
+
+SQL_EVAL_LINKING_F1 = (
+    r"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         CAST(label AS BIGINT) AS entity
+  FROM embeddings
+),
+m AS (SELECT vec_id, """
+    + _LSH_BUCKET_EXPR
+    + r""" AS cluster_id, entity FROM e),
+cell AS (SELECT cluster_id, entity, count(*) AS n FROM m GROUP BY cluster_id, entity),
+maj AS (
+  SELECT cluster_id, entity AS pred FROM (
+    SELECT cluster_id, entity,
+           row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, entity ASC) AS rk
+    FROM cell
+  ) WHERE rk = 1
+),
+pred AS (SELECT m.vec_id, m.entity, maj.pred FROM m JOIN maj USING (cluster_id)),
+gold_n AS (SELECT entity, count(*) AS gn FROM pred GROUP BY entity),
+pred_n AS (SELECT pred AS entity, count(*) AS an FROM pred GROUP BY pred),
+correct AS (SELECT entity, count(*) AS c FROM pred WHERE entity = pred GROUP BY entity),
+per AS (
+  SELECT CAST(g.entity AS VARCHAR) AS label,
+         coalesce(c.c, 0) AS c, g.gn, coalesce(p.an, 0) AS an
+  FROM gold_n g LEFT JOIN pred_n p ON g.entity = p.entity
+                LEFT JOIN correct c ON g.entity = c.entity
+),
+rows_ AS (
+  SELECT label,
+         round(CASE WHEN an > 0 THEN c / CAST(an AS DOUBLE) ELSE 0.0 END, 6) AS precision,
+         round(CASE WHEN gn > 0 THEN c / CAST(gn AS DOUBLE) ELSE 0.0 END, 6) AS recall,
+         round(CASE WHEN (CASE WHEN an > 0 THEN c / CAST(an AS DOUBLE) ELSE 0.0 END)
+                       + (CASE WHEN gn > 0 THEN c / CAST(gn AS DOUBLE) ELSE 0.0 END) > 0
+               THEN 2 * (CASE WHEN an > 0 THEN c / CAST(an AS DOUBLE) ELSE 0.0 END)
+                      * (CASE WHEN gn > 0 THEN c / CAST(gn AS DOUBLE) ELSE 0.0 END)
+                    / ((CASE WHEN an > 0 THEN c / CAST(an AS DOUBLE) ELSE 0.0 END)
+                       + (CASE WHEN gn > 0 THEN c / CAST(gn AS DOUBLE) ELSE 0.0 END))
+               ELSE 0.0 END, 6) AS f1
+  FROM per
+),
+macro AS (
+  SELECT '#macro#' AS label,
+         round(sum(c) / CAST(sum(an) AS DOUBLE), 6) AS precision,
+         round(sum(c) / CAST(sum(gn) AS DOUBLE), 6) AS recall,
+         round(2 * (sum(c) / CAST(sum(an) AS DOUBLE)) * (sum(c) / CAST(sum(gn) AS DOUBLE))
+               / ((sum(c) / CAST(sum(an) AS DOUBLE)) + (sum(c) / CAST(sum(gn) AS DOUBLE))),
+               6) AS f1
+  FROM per
+)
+SELECT * FROM rows_ UNION ALL SELECT * FROM macro
+"""
+)
+
 # twin of ivf_topk(n_centroids=16, nprobe=4, k=10): md5-exemplar codebook,
 # nearest-centroid inverted lists, nprobe probes, exact rerank
 SQL_SIMILARITY_IVF = r"""
@@ -1271,6 +1358,8 @@ ORACLES = {
     "similarity_ivf": SQL_SIMILARITY_IVF,
     "similarity_lsh_buckets": SQL_SIMILARITY_LSH_BUCKETS,
     "eval_bcubed": SQL_EVAL_BCUBED,
+    "eval_blanc": SQL_EVAL_BLANC,
+    "eval_linking_f1": SQL_EVAL_LINKING_F1,
     "eval_pairf1_multi": SQL_EVAL_PAIRF1_MULTI,
     "events_json_props": SQL_EVENTS_JSON_PROPS,
     "text_vocab": SQL_TEXT_VOCAB,

@@ -60,3 +60,39 @@ def test_b_cubed_hand_case(spark):
     # P per mention: 2/3, 2/3, 1/3 → 5/9 ; R: 1,1,1 → 1
     assert ev["precision"] == pytest.approx(5 / 9)
     assert ev["recall"] == pytest.approx(1.0)
+
+
+def test_blanc_pair_counting_equals_pair_join(spark):
+    """The contract's sufficient-statistics Blanc (group sizes, no pair
+    materialization) must equal the general pair-join evaluator on the
+    same clustering — single block, singleton gold labels."""
+    from character_identification_spark.driver_contract import q_eval_blanc
+    from character_identification_spark.evaluation.coref import blanc
+    from character_identification_spark.evaluation.pairf1 import (
+        gold_pairs_from_mentions,
+    )
+    from character_identification_spark.operators.similarity import sign_lsh_bucket
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        F.col("label").cast("long").alias("label"),
+    )
+    assign = emb.select(
+        F.col("vec_id").alias("mention_uid"),
+        sign_lsh_bucket("embedding", F.size(F.col("embedding")), n_planes=4)
+        .cast("string")
+        .alias("cluster_id"),
+    )
+    gold = emb.select(
+        F.lit("b0").alias("block_key"),
+        F.col("vec_id").alias("mention_uid"),
+        F.array(F.col("label").cast("string")).alias("gold_refs"),
+    )
+    general = blanc(assign, gold_pairs_from_mentions(gold))
+    stats = q_eval_blanc(spark, sf).collect()[0]
+    for k in ("p_coref", "r_coref", "f_coref", "p_non", "r_non", "f_non"):
+        assert abs(round(general[k], 6) - stats[k]) < 2e-6, k
+    assert abs(round(general["f1"], 6) - stats["blanc"]) < 2e-6
