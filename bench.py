@@ -44,6 +44,8 @@ HEADLINE = [
     "dedup_simhash_pairs",  # SimHash + pigeonhole band join
     "similarity_topk",      # brute-force cosine top-k (broadcast queries)
     "text_stats",           # quality-filter feature block
+    "url_dedup",            # canonical-url dedup tier (one shuffle)
+    "text_repetition",      # Gopher repetition stats (explode + keyed aggs)
     "asof_prev_event",      # as-of window join
     "events_tumbling",      # tumbling-window aggregation
     "tpch_q1",              # relational agg baseline

@@ -19,7 +19,8 @@ sys.path.insert(0, ".")
 AUDIT = [
     "text_token_counts", "text_stats", "tpch_q1", "order_enrich_broadcast",
     "asof_prev_event", "dedup_minhash_pairs", "similarity_topk",
-    "er_candidate_pairs",
+    "er_candidate_pairs", "url_dedup", "pii_scrub", "text_repetition",
+    "dedup_keep_best", "eval_blanc",
 ]
 
 
