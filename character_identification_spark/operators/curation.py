@@ -85,8 +85,14 @@ def repetition_stats(
     duplicate fraction of 5-gram occurrences (1 − distinct/total). High
     values flag boilerplate/spam for removal before training.
 
-    Dataflow: one explode over the union of gram sizes, then two
-    aggregations keyed by doc_id — linear volume, uniform shuffle keys.
+    Dataflow: a union of one explode per gram size, then two aggregations
+    keyed by doc_id — linear volume, uniform keys. The union re-reads the
+    pruned (doc_id, text) projection once per size; the measured
+    alternative — one scan exploding a concat of size-tagged gram
+    structs — is 2.2× SLOWER (4.5 s vs 10 s at sf0.1, best-of-3 warm):
+    materializing ~3×|tokens| structs per row before the explode costs
+    more than two extra pruned columnar scans, and the explode OUTPUT,
+    not the scan, dominates bytes at any scale.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = docs.select(
