@@ -172,6 +172,7 @@ def link_transcript_mentions(
     mentions: DataFrame,
     label_vocab: tuple[str, ...] | None = None,
     p3_mode: str = "near_gender_xspk_pool",
+    p2_vocative: bool = False,
 ) -> DataFrame:
     """mentions(mention_uid, utterance_id, utt_idx, sent_idx, begin,
     surface, block_key=scene_id) + utterances → assignments
@@ -203,10 +204,37 @@ def link_transcript_mentions(
     named = match_names_to_cast(m.filter(F.col("kind") == "name"), cast)
     m = m.join(named, "mention_uid", "left")
 
+    if p2_vocative:
+        # vocative prior: a UNIQUE cast-name mention inside the same
+        # utterance that isn't the speaker names the addressee
+        # ("Joey, you …" → you = joey). MEASURED AND REJECTED as the
+        # default: dev p2 accuracy drops 655→635/885 (F1 0.7430→0.7302) —
+        # a name inside your own utterance is the TOPIC more often than
+        # the addressee ("did you see Ross?"). Kept selectable for the
+        # sweep harness.
+        voc = (
+            m.filter((F.col("kind") == "name") & F.col("cast_ref").isNotNull())
+            .groupBy("utterance_id")
+            .agg(
+                F.count_distinct("cast_ref").alias("_vn"),
+                F.min("cast_ref").alias("_vref"),
+            )
+            .filter(F.col("_vn") == 1)
+            .select("utterance_id", F.col("_vref").alias("vref"))
+        )
+        m = m.join(voc, "utterance_id", "left")
+        p2_ref = F.coalesce(
+            F.when(F.col("vref") != F.col("spk"), F.col("vref")),
+            F.col("prev_spk"),
+            F.col("next_spk"),
+        )
+    else:
+        p2_ref = F.coalesce("prev_spk", "next_spk")
+
     # first pass: speaker-derivable references
     ref0 = (
         F.when(F.col("kind").isin("p1", "ppl"), F.col("spk"))
-        .when(F.col("kind") == "p2", F.coalesce("prev_spk", "next_spk"))
+        .when(F.col("kind") == "p2", p2_ref)
         .when(F.col("kind") == "name", F.col("cast_ref"))
     )
     m = m.withColumn("ref0", ref0).withColumn(
