@@ -536,6 +536,29 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (Spark's session_window — the batch twin
+    of the streaming session aggregation): per user, events closer than
+    10 minutes chain into one session; end = last event + gap. The DuckDB
+    twin is the classic gaps-and-islands lag/cumsum rewrite — identical
+    values, which pins Spark's session semantics exactly."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-path scalar extraction (the shredding step the reference does
     at ingest, SURVEY §2 S3, as a queryable scalar function)."""
@@ -997,6 +1020,7 @@ QUERIES = {
     "asof_prev_event": q_asof_prev_event,
     "asof_join_events": q_asof_join_events,
     "events_tumbling": q_events_tumbling,
+    "events_sessions": q_events_sessions,
     "events_neighbors": q_events_neighbors,
     "orders_split_routing": q_orders_split_routing,
     "events_type_share": q_events_type_share,

@@ -1124,6 +1124,28 @@ FROM events
 GROUP BY 1, 2, 3
 """
 
+SQL_EVENTS_SESSIONS = r"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 10 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 10 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
 SQL_EVENTS_NEIGHBORS = r"""
 SELECT event_id, user_id, ts,
        lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id,
@@ -1366,6 +1388,7 @@ ORACLES = {
     "asof_prev_event": SQL_ASOF_PREV_EVENT,
     "asof_join_events": SQL_ASOF_JOIN_EVENTS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
+    "events_sessions": SQL_EVENTS_SESSIONS,
     "events_neighbors": SQL_EVENTS_NEIGHBORS,
     "orders_split_routing": SQL_ORDERS_SPLIT_ROUTING,
     "events_type_share": SQL_EVENTS_TYPE_SHARE,

@@ -128,3 +128,33 @@ def test_repetition_stats_python_free(spark):
     plan = plan_of(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_" in plan  # map-side combine before the shuffle
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing both join sides on the key removes the join Exchange —
+    the co-located-join strategy SCALE.md prescribes for repeated big-big
+    joins (write once bucketed, join many times shuffle-free)."""
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS x")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS y")
+    try:
+        a.write.bucketBy(8, "k").sortBy("k").option(
+            "path", str(tmp_path / "ta")
+        ).saveAsTable("bkt_a")
+        b.write.bucketBy(8, "k").sortBy("k").option(
+            "path", str(tmp_path / "tb")
+        ).saveAsTable("bkt_b")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # the tables are tiny, so the planner would broadcast (and skip
+        # bucketed scans); force the big-big SortMergeJoin shape the
+        # strategy exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = plan_of(joined, mode="simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
