@@ -559,6 +559,24 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (event_type → day → grand total) with
+    grouping_id — the multi-level aggregate a metrics sink materializes
+    in one pass instead of three separate groupBys."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("event_type", "day", "n_events", "sum_value", "gid")
+    )
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-path scalar extraction (the shredding step the reference does
     at ingest, SURVEY §2 S3, as a queryable scalar function)."""
@@ -1021,6 +1039,7 @@ QUERIES = {
     "asof_join_events": q_asof_join_events,
     "events_tumbling": q_events_tumbling,
     "events_sessions": q_events_sessions,
+    "events_rollup": q_events_rollup,
     "events_neighbors": q_events_neighbors,
     "orders_split_routing": q_orders_split_routing,
     "events_type_share": q_events_type_share,

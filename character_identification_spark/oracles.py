@@ -1146,6 +1146,19 @@ SELECT user_id, min(ts) AS session_start,
 FROM s GROUP BY user_id, session_id
 """
 
+SQL_EVENTS_ROLLUP = r"""
+WITH e AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value
+  FROM events
+)
+SELECT event_type, day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       CAST(grouping(event_type) * 2 + grouping(day) AS BIGINT) AS gid
+FROM e
+GROUP BY ROLLUP (event_type, day)
+"""
+
 SQL_EVENTS_NEIGHBORS = r"""
 SELECT event_id, user_id, ts,
        lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id,
@@ -1389,6 +1402,7 @@ ORACLES = {
     "asof_join_events": SQL_ASOF_JOIN_EVENTS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sessions": SQL_EVENTS_SESSIONS,
+    "events_rollup": SQL_EVENTS_ROLLUP,
     "events_neighbors": SQL_EVENTS_NEIGHBORS,
     "orders_split_routing": SQL_ORDERS_SPLIT_ROUTING,
     "events_type_share": SQL_EVENTS_TYPE_SHARE,
