@@ -159,3 +159,206 @@ def run_incremental_ingest(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def incremental_attach(
+    new_names: DataFrame,
+    base_clusters: DataFrame,
+    threshold: float | None = None,
+    prefix_len: int = 4,
+    n_gram: int = 3,
+    num_hashes: int = 12,
+    band_size: int = 2,
+    max_block_size: int | None = 200,
+) -> dict[str, DataFrame]:
+    """Micro-batch cluster maintenance: attach NEWLY-ARRIVED names to the
+    EXISTING name clusters without re-running the global fixpoint — the
+    cluster-repair half of the lambda split (the module docstring's
+    "cannot be incrementalized safely" caveat, made safe by deferring
+    exactly the unsafe part).
+
+    new_names(mention_uid, norm) are blocked and scored against
+    base_clusters(mention_uid, norm, cluster_id) AND against each other —
+    new×base plus new×new, never base×base, so a drop of d names against
+    a vocabulary of V costs O(d·cap) pairs instead of the O((V+d)·cap)
+    full re-block. The same edge discipline as the batch pipeline
+    (operators/context.name_edge_table — ambiguity + containment rules)
+    decides; drop-internal safe edges run a LOCAL connected components
+    (input bounded by the drop size) so two new aliases of the same
+    entity link even when their cluster has no base member yet, and each
+    drop component attaches as a unit:
+
+      safe match   → the component joins its anchors' cluster; anchors in
+                     MULTIPLE base clusters attach to the smallest id and
+                     emit the implied cluster pairs to ``merge_queue`` —
+                     evidence those clusters should fuse, which only the
+                     next cadence batch (full CC) may do. Incremental
+                     attach never merges existing clusters: merges are
+                     deferred, so a bad drop cannot cascade.
+      amb link     → candidate attachment: an ambiguous new name attaches
+                     iff ALL its anchors agree on one cluster (the
+                     name_cluster_table rule), else keeps its own uid
+                     with needs_ctx=true for resolve_in_context.
+      no match     → new cluster (the drop component's min uid).
+
+    Returns {"assignments": (mention_uid, norm, cluster_id, needs_ctx)
+    for the NEW names, "reassigned": the same shape for base ambiguous
+    SINGLETONS the drop gave an unanimous anchor (moving a singleton
+    merges nothing, so it is the one safe base mutation), "amb_links":
+    (amb_uid, anchor_uid) for downstream context resolution,
+    "merge_queue": (cluster_a, cluster_b, evidence_uid)}.
+    """
+    from character_identification_spark.operators.blocking import assign_blocks
+    from character_identification_spark.operators.context import name_edge_table
+    from character_identification_spark.operators.scoring import score_pairs
+
+    from character_identification_spark.operators.cc import connected_components
+
+    nb = assign_blocks(
+        new_names, prefix_len, n_gram, num_hashes, band_size, max_block_size
+    ).select("block_key", "mention_uid")
+    bb = assign_blocks(
+        base_clusters.select("mention_uid", "norm"),
+        prefix_len, n_gram, num_hashes, band_size, max_block_size,
+    ).select("block_key", F.col("mention_uid").alias("uid2"))
+    # new×base (uid1 = new, uid2 = base) ∪ new×new (uid1 < uid2)
+    nxb = nb.select("block_key", F.col("mention_uid").alias("uid1")).join(
+        bb, "block_key"
+    )
+    nxn = (
+        nb.select("block_key", F.col("mention_uid").alias("uid1"))
+        .join(nb.select("block_key", F.col("mention_uid").alias("uid2")), "block_key")
+        .filter(F.col("uid1") < F.col("uid2"))
+    )
+    cand = nxb.select("uid1", "uid2").unionByName(nxn.select("uid1", "uid2")).distinct()
+    all_norms = new_names.select("mention_uid", "norm").unionByName(
+        base_clusters.select("mention_uid", "norm")
+    )
+    pairs = cand.join(
+        all_norms.select(F.col("mention_uid").alias("uid1"), F.col("norm").alias("norm_1")),
+        "uid1",
+    ).join(
+        all_norms.select(F.col("mention_uid").alias("uid2"), F.col("norm").alias("norm_2")),
+        "uid2",
+    )
+    scored = score_pairs(pairs, dedup_strings=False) if threshold is None else (
+        score_pairs(pairs, threshold, dedup_strings=False)
+    )
+    edges = name_edge_table(scored, threshold)
+    base_map = base_clusters.select(
+        F.col("mention_uid").alias("anchor_uid"), F.col("cluster_id").alias("anchor_cluster")
+    )
+
+    # safe rows keep (a, b) = (uid1, uid2); split drop-internal edges
+    # (both new) from anchor edges (uid2 in base)
+    new_ids = new_names.select("mention_uid")
+    safe = edges.filter(F.col("role") == "safe")
+    drop_edges = safe.join(
+        new_ids.withColumnRenamed("mention_uid", "b"), "b", "left_semi"
+    ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+    # drop-local components: bounded by the drop, a few CC rounds
+    comp = connected_components(drop_edges).withColumnRenamed("node", "mention_uid")
+    with_comp = new_ids.join(comp, "mention_uid", "left").select(
+        "mention_uid",
+        F.coalesce(F.col("component"), F.col("mention_uid")).alias("comp"),
+    )
+    anchor_hits = (
+        safe.join(base_map.withColumnRenamed("anchor_uid", "b"), "b")
+        .select(F.col("a").alias("mention_uid"), "anchor_cluster")
+        .join(with_comp, "mention_uid")
+        .groupBy("comp")
+        .agg(
+            F.min("anchor_cluster").alias("cluster_id"),
+            F.collect_set("anchor_cluster").alias("all_clusters"),
+        )
+    )
+    safe_hits = with_comp.join(anchor_hits, "comp", "left").select(
+        "mention_uid",
+        "comp",
+        F.col("cluster_id"),
+        F.coalesce("all_clusters", F.array().cast("array<long>")).alias("all_clusters"),
+    )
+    merge_queue = (
+        anchor_hits.filter(F.size("all_clusters") > 1)
+        .select(
+            "comp",
+            F.col("cluster_id").alias("cluster_a"),
+            F.explode("all_clusters").alias("cluster_b"),
+        )
+        .filter(F.col("cluster_b") != F.col("cluster_a"))
+        .select("cluster_a", "cluster_b", F.col("comp").alias("evidence_uid"))
+    )
+
+    # resolved anchor map: base names keep their cluster; new names carry
+    # the cluster they were just assigned (anchor hit, else drop comp) —
+    # an ambiguous name may anchor on a name from the SAME drop
+    new_assign_map = safe_hits.select(
+        F.col("mention_uid").alias("anchor_uid"),
+        F.coalesce(F.col("cluster_id"), F.col("comp")).alias("anchor_cluster"),
+    )
+    anchor_map = base_map.unionByName(new_assign_map)
+
+    # amb links whose ambiguous side is a NEW name
+    amb_links = (
+        edges.filter(F.col("role") == "amb")
+        .select(F.col("a").alias("amb_uid"), F.col("b").alias("anchor_uid"))
+        .join(
+            new_names.select(F.col("mention_uid").alias("amb_uid")),
+            "amb_uid",
+            "left_semi",
+        )
+    )
+    amb_hits = (
+        amb_links.join(anchor_map, "anchor_uid")
+        .groupBy(F.col("amb_uid").alias("mention_uid"))
+        .agg(F.count_distinct("anchor_cluster").alias("n_cand"),
+             F.min("anchor_cluster").alias("cand_cluster"))
+    )
+
+    # base-side ambiguous SINGLETONS (cluster_id == own uid — unattached,
+    # pending context) may safely re-attach: moving a singleton merges no
+    # existing clusters. Attached base names stay immutable.
+    base_singletons = base_clusters.filter(
+        F.col("cluster_id") == F.col("mention_uid")
+    ).select("mention_uid", "norm")
+    reassigned = (
+        edges.filter(F.col("role") == "amb")
+        .select(F.col("a").alias("mention_uid"), F.col("b").alias("anchor_uid"))
+        .join(base_singletons.select("mention_uid"), "mention_uid", "left_semi")
+        .join(anchor_map, "anchor_uid")
+        .groupBy("mention_uid")
+        .agg(F.count_distinct("anchor_cluster").alias("n_cand"),
+             F.min("anchor_cluster").alias("cand_cluster"))
+        .filter(F.col("n_cand") == 1)
+        .join(base_singletons, "mention_uid")
+        .select(
+            "mention_uid", "norm",
+            F.col("cand_cluster").alias("cluster_id"),
+            F.lit(False).alias("needs_ctx"),
+        )
+    )
+
+    assignments = (
+        new_names.join(
+            safe_hits.select("mention_uid", "comp", "cluster_id"), "mention_uid", "left"
+        )
+        .join(amb_hits, "mention_uid", "left")
+        .select(
+            "mention_uid",
+            "norm",
+            F.coalesce(
+                F.col("cluster_id"),
+                F.when(F.col("n_cand") == 1, F.col("cand_cluster")),
+                F.col("comp"),
+                F.col("mention_uid"),
+            ).alias("cluster_id"),
+            (F.col("cluster_id").isNull() & (F.coalesce(F.col("n_cand"), F.lit(0)) > 1))
+            .alias("needs_ctx"),
+        )
+    )
+    return {
+        "assignments": assignments,
+        "reassigned": reassigned,
+        "amb_links": amb_links,
+        "merge_queue": merge_queue,
+    }
