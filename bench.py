@@ -15,9 +15,15 @@ parquet input at two parallelism levels (the sandbox evidence for the
 north rule's N vs 4N executor criterion — see BASELINE.md) and reports
 efficiency = (docs_per_sec_hi / docs_per_sec_lo) / (cores_hi / cores_lo).
 
+The headline suite runs taskset-pinned in a fresh subprocess JVM,
+best-of-N (per-query min, default N=2) — same shared-host discipline as
+the scaling section, so round-over-round deltas measure code, not
+tenants.
+
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALING=0 to skip the scaling
-section, SPARK_GRAFT_SCALE_PAGES (default 12000).
+section, SPARK_GRAFT_SCALE_PAGES (default 12000),
+SPARK_GRAFT_HEADLINE_REPEATS (default 2).
 """
 
 from __future__ import annotations
@@ -96,6 +102,46 @@ def run_headline(spark: SparkSession) -> dict[str, float]:
         _force(QUERIES[name](spark, SF_DIR))
         times[name] = round(time.monotonic() - t0, 3)
     return times
+
+
+def _headline_worker() -> None:
+    """Child-process entry: run the headline suite once, print the per-
+    query seconds as one JSON line. One JVM per repeat, taskset-pinned by
+    the parent — same isolation discipline as the scaling workers, so
+    round-over-round headline comparisons measure code, not tenants."""
+    spark = _session(CPUS, "bench-headline")
+    spark.sparkContext.setLogLevel("ERROR")
+    times = run_headline(spark)
+    print("HEADLINE_JSON " + json.dumps(times))
+    spark.stop()
+
+
+def run_headline_pinned() -> tuple[dict[str, float], list[dict[str, float]]]:
+    """Best-of-N headline: N subprocess runs (default 2, env
+    SPARK_GRAFT_HEADLINE_REPEATS), per-query MIN across runs — on a shared
+    host the min is the least-interfered measurement of the job's own
+    cost (same rationale as the scaling section's best-of-N)."""
+    import re
+    import subprocess
+
+    repeats = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPEATS", "2"))
+    runs: list[dict[str, float]] = []
+    for _ in range(repeats):
+        cmd = [sys.executable, os.path.abspath(__file__), "--headline-worker"]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{CPUS - 1}"] + cmd
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        m = re.search(r"HEADLINE_JSON (\{.*\})", proc.stdout)
+        if not m:
+            raise RuntimeError(
+                f"headline worker failed:\n{proc.stdout[-2000:]}\n"
+                f"{proc.stderr[-2000:]}"
+            )
+        runs.append(json.loads(m.group(1)))
+    best = {
+        name: round(min(r[name] for r in runs), 3) for name in HEADLINE
+    }
+    return best, runs
 
 
 def _pipeline_assignments(spark: SparkSession, pages_path: str, cores: int):
@@ -206,11 +252,11 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
         _scale_worker(int(sys.argv[2]), sys.argv[3])
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--headline-worker":
+        _headline_worker()
+        return
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     pages_path = f"/tmp/bench_pages_v2_{SCALE_PAGES}"
-
-    spark = _session(CPUS, "bench")
-    spark.sparkContext.setLogLevel("ERROR")
 
     if SCALING and not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
         from character_identification_spark.fixtures.pages_gen import (
@@ -218,25 +264,24 @@ def main() -> None:
             split_pages_gold,
         )
 
+        spark = _session(CPUS, "bench-gen")
+        spark.sparkContext.setLogLevel("ERROR")
         shutil.rmtree(pages_path, ignore_errors=True)
         pages, _ = split_pages_gold(generate_corpus_dist(spark, SCALE_PAGES))
         pages.write.mode("overwrite").parquet(pages_path)
+        spark.stop()
 
-    times = run_headline(spark)
+    times, headline_runs = run_headline_pinned()
 
     t0 = time.monotonic()
-    if SCALING:
-        spark.stop()
-        scaling = run_scaling(pages_path, SCALE_PAGES)
-    else:
-        scaling = None
-        spark.stop()
+    scaling = run_scaling(pages_path, SCALE_PAGES) if SCALING else None
 
     result = {
         "metric": "headline_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "headline_runs": [round(sum(r.values()), 3) for r in headline_runs],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if scaling:

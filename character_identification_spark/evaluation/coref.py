@@ -195,21 +195,43 @@ def ceaf_e(assignments: DataFrame, gold_mentions: DataFrame) -> dict:
             "precision": p, "recall": r, "f1": f1}
 
 
+def _auto_labels(assignments: DataFrame, auto_refs_col: str) -> DataFrame:
+    """(mention_uid, label) rows from the auto side. Array-typed columns
+    (auto_refs — the pooled multi-membership list, reference
+    LinkingMacroF1Evaluator semantics) are exploded so plural mentions
+    contribute their FULL label set, symmetric with the gold_refs explode;
+    scalar columns give the stricter primary-label view."""
+    from pyspark.sql.types import ArrayType
+
+    col_type = assignments.schema[auto_refs_col].dataType
+    if isinstance(col_type, ArrayType):
+        return (
+            assignments.select(
+                "mention_uid", F.explode(auto_refs_col).alias("label")
+            )
+            .filter(F.col("label").isNotNull())
+            .distinct()
+        )
+    return (
+        assignments.filter(F.col(auto_refs_col).isNotNull())
+        .select("mention_uid", F.col(auto_refs_col).alias("label"))
+        .distinct()
+    )
+
+
 def linking_micro_f1(
-    assignments: DataFrame, gold_mentions: DataFrame, auto_refs_col: str = "auto_ref"
+    assignments: DataFrame, gold_mentions: DataFrame, auto_refs_col: str = "auto_refs"
 ) -> DataFrame:
     """Per-label linking P/R/F1 (reference evaluators.py:158-184):
-    membership of each label's gold vs auto mention sets.
+    membership of each label's gold vs auto mention sets. Defaults to the
+    pooled auto_refs view (reference parity); pass auto_refs_col="auto_ref"
+    for the stricter primary-label variant.
     → DataFrame(label, n_gold, n_auto, n_correct, precision, recall, f1).
     """
     g = gold_mentions.select(
         "mention_uid", F.explode("gold_refs").alias("label")
     ).distinct()
-    a = (
-        assignments.filter(F.col(auto_refs_col).isNotNull())
-        .select("mention_uid", F.col(auto_refs_col).alias("label"))
-        .distinct()
-    )
+    a = _auto_labels(assignments, auto_refs_col)
     gc = g.groupBy("label").agg(F.count("*").alias("n_gold"))
     ac = a.groupBy("label").agg(F.count("*").alias("n_auto"))
     cc = g.join(a, ["mention_uid", "label"]).groupBy("label").agg(
@@ -237,18 +259,15 @@ def linking_micro_f1(
 
 
 def linking_macro_f1(
-    assignments: DataFrame, gold_mentions: DataFrame, auto_refs_col: str = "auto_ref"
+    assignments: DataFrame, gold_mentions: DataFrame, auto_refs_col: str = "auto_refs"
 ) -> dict:
     """Global linking P/R/F1 (reference evaluators.py:187-206): total
-    correct (mention, label) memberships over total gold/auto counts."""
+    correct (mention, label) memberships over total gold/auto counts.
+    Defaults to the pooled auto_refs view (reference parity)."""
     g = gold_mentions.select(
         "mention_uid", F.explode("gold_refs").alias("label")
     ).distinct()
-    a = (
-        assignments.filter(F.col(auto_refs_col).isNotNull())
-        .select("mention_uid", F.col(auto_refs_col).alias("label"))
-        .distinct()
-    )
+    a = _auto_labels(assignments, auto_refs_col)
     n_g, n_a = g.count(), a.count()
     n_c = g.join(a, ["mention_uid", "label"]).count()
     p = n_c / n_a if n_a else 0.0

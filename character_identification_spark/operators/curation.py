@@ -118,21 +118,29 @@ def repetition_stats(
         F.max(F.when(F.col("n") == 5, F.col("total"))).alias("g5_total"),
         F.max(F.when(F.col("n") == 5, F.col("n_distinct"))).alias("g5_distinct"),
     )
+    # Degenerate docs: for empty/whitespace-only text n_chars = 0 and the
+    # IEEE double division yields NaN, which coalesce does NOT replace
+    # (NaN is not null) — guard the denominator explicitly so Spark matches
+    # DuckDB's NULL-on-zero-division → coalesce → 0.0 behavior.
+    def _frac(num, den):
+        return F.round(
+            F.when(den > 0, F.coalesce(num / den.cast("double"), F.lit(0.0)))
+            .otherwise(0.0),
+            6,
+        )
+
     return base.join(piv, "doc_id", "left").select(
         "doc_id",
+        _frac(F.col("top2_chars"), F.col("n_chars")).alias("top2_char_frac"),
+        _frac(F.col("top3_chars"), F.col("n_chars")).alias("top3_char_frac"),
         F.round(
-            F.coalesce(F.col("top2_chars") / F.col("n_chars").cast("double"), F.lit(0.0)),
-            6,
-        ).alias("top2_char_frac"),
-        F.round(
-            F.coalesce(F.col("top3_chars") / F.col("n_chars").cast("double"), F.lit(0.0)),
-            6,
-        ).alias("top3_char_frac"),
-        F.round(
-            F.coalesce(
-                1.0 - F.col("g5_distinct") / F.col("g5_total").cast("double"),
-                F.lit(0.0),
-            ),
+            F.when(
+                F.col("g5_total") > 0,
+                F.coalesce(
+                    1.0 - F.col("g5_distinct") / F.col("g5_total").cast("double"),
+                    F.lit(0.0),
+                ),
+            ).otherwise(0.0),
             6,
         ).alias("dup5_frac"),
     )

@@ -191,9 +191,14 @@ def simhash(
     tests/test_dedup.py):
 
       impl='numpy'       DEFAULT scale path — one Arrow batch in/out per
-                         partition (mapInPandas), votes as a vocab×bits
-                         matrix multiply. No shuffle at all (the
-                         relational form shuffles twice), no row blowup.
+                         partition (mapInPandas). Per batch: tokenize +
+                         count in Python (inherent), md5 once per UNIQUE
+                         token (cached across batches), then a vectorized
+                         (entries × bits) bit-unpack matrix and a
+                         segmented sum (np.add.at) produce every doc's
+                         votes at once — no per-token Python in the vote
+                         path. No shuffle at all (the relational form
+                         shuffles twice), no row blowup.
       impl='relational'  explode tokens → explode bit positions → two
                          aggregations; 60×|tokens| intermediate rows.
                          This is the DuckDB-oracle twin and the
@@ -221,23 +226,40 @@ def simhash(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         hash_cache: dict[str, int] = {}
         for pdf in batches:
-            ids, hashes = [], []
+            ids: list = []
+            doc_idx: list[int] = []
+            toks: list[str] = []
+            ws: list[int] = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:  # relational twin drops null text (explode)
                     continue
                 # token rule matches F.split(F.trim(text), r"\s+"):
                 # empty/whitespace-only text yields one '' token
                 counts = Counter(re.split(r"\s+", text.strip()))
-                votes = np.zeros(bits, dtype=np.int64)
-                for tok, w in counts.items():
-                    th = hash_cache.get(tok)
-                    if th is None:
-                        th = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
-                        hash_cache[tok] = th
-                    tokbits = (np.uint64(th) >> shifts) & np.uint64(1)
-                    votes += w * (2 * tokbits.astype(np.int64) - 1)
+                d = len(ids)
                 ids.append(did)
-                hashes.append(int(powers[votes > 0].sum()))
+                for tok, w in counts.items():
+                    doc_idx.append(d)
+                    toks.append(tok)
+                    ws.append(w)
+            if not ids:
+                continue
+            # md5 once per unique token (cache shared across batches);
+            # everything after this point is vectorized numpy
+            for tok in set(toks):
+                if tok not in hash_cache:
+                    hash_cache[tok] = int(
+                        hashlib.md5(tok.encode()).hexdigest()[:15], 16
+                    )
+            th_arr = np.fromiter(
+                (hash_cache[t] for t in toks), dtype=np.uint64, count=len(toks)
+            )
+            # (entries × bits) sign matrix, weighted, segment-summed per doc
+            bitm = ((th_arr[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            signed = (2 * bitm - 1) * np.asarray(ws, dtype=np.int64)[:, None]
+            votes = np.zeros((len(ids), bits), dtype=np.int64)
+            np.add.at(votes, np.asarray(doc_idx, dtype=np.int64), signed)
+            hashes = (powers[None, :] * (votes > 0)).sum(axis=1)
             yield pd.DataFrame(
                 {id_col: pd.Series(ids, dtype="int64"),
                  "simhash": pd.Series(hashes, dtype="int64")}

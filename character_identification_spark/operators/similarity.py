@@ -89,12 +89,39 @@ def cosine_topk(
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_sim", cosine_sim("cv", "qv"))
+        .select("query_id", "neighbor_id", "cos_sim")
     )
+
+    # Two-phase exact top-k: a per-partition running top-k reduction
+    # (Arrow-batched mapInPandas over the three scalar columns — scoring
+    # itself stays JVM-side/codegen) shrinks each partition to ≤ k rows per
+    # query BEFORE the rank shuffle, so the final window moves at most
+    # k × partitions rows per query instead of the whole scored corpus.
+    # Exactness: per-partition top-k under the same total order
+    # (cos_sim desc, neighbor_id asc) always contains the global top-k.
+    import pandas as pd  # noqa: F401 — imported in the driver for the closure
+
+    def _partial_topk(batches):
+        import pandas as _pd
+
+        best = None
+        for pdf in batches:
+            cur = pdf if best is None else _pd.concat([best, pdf], ignore_index=True)
+            cur = cur.sort_values(
+                ["query_id", "cos_sim", "neighbor_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            best = cur.groupby("query_id", sort=False).head(k)
+        if best is not None:
+            yield best
+
+    reduced = scored.mapInPandas(_partial_topk, scored.schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        reduced.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
@@ -123,25 +150,43 @@ def ivf_topk(
          those lists exactly.
 
     Probing cost is |corpus|/n_centroids × nprobe per query in
-    expectation; the corpus-sized cross product never happens."""
-    # global top-n by hash = TakeOrderedAndProject (per-partition top-n +
-    # tiny driver merge), NOT a single-partition window sort
-    cents = (
+    expectation; the corpus-sized cross product never happens.
+
+    ZERO-SHUFFLE list build: the codebook is n_centroids deterministic
+    rows, so it is collected once (TakeOrderedAndProject — per-partition
+    top-n + tiny driver merge) and inlined as LITERAL vectors; each
+    corpus/query row computes its nearest centroid(s) with JVM array ops
+    (array_sort over per-centroid cosine structs) — no crossJoin row
+    inflation and no rank-window Exchange. The old formulation shuffled
+    the corpus n_centroids× through a partitionBy(id) window just to pick
+    one argmax per row."""
+    # global top-n by hash = TakeOrderedAndProject, then collect the tiny
+    # deterministic codebook (n_centroids rows) to inline as literals
+    cent_rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
         .limit(n_centroids)
+        .collect()
     )
 
     def nearest(df, idc, topn):
-        scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "c_sim", cosine_sim(vec_col, "cvec")
+        # struct(-sim, cid) sorted ascending == (sim desc, cid asc) — the
+        # exact tie order of the previous window formulation
+        arr = F.array(
+            *[
+                F.struct(
+                    (-cosine_sim(
+                        vec_col, F.array(*[F.lit(x) for x in r["cvec"]])
+                    )).alias("negs"),
+                    F.lit(r["cid"]).alias("cid"),
+                )
+                for r in cent_rows
+            ]
         )
-        w = Window.partitionBy(idc).orderBy(F.desc("c_sim"), F.asc("cid"))
-        return (
-            scored.withColumn("crk", F.row_number().over(w))
-            .filter(F.col("crk") <= topn)
-            .drop("cvec", "c_sim", "crk")
-        )
+        top = F.slice(F.array_sort(arr), 1, topn)
+        return df.select(
+            F.col(idc), F.col(vec_col), F.explode(top).alias("_t")
+        ).select(idc, vec_col, F.col("_t.cid").alias("cid"))
 
     lists = nearest(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
@@ -151,7 +196,7 @@ def ivf_topk(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col)),
         "query_id", nprobe,
     ).select("query_id", F.col(vec_col).alias("qv"), "cid")
-    cand = lists.join(probes, "cid").filter(
+    cand = lists.join(F.broadcast(probes), "cid").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = cand.withColumn("cos_sim", cosine_sim("cv", "qv"))

@@ -1126,7 +1126,7 @@ GROUP BY 1, 2, 3
 
 SQL_EVENTS_SESSIONS = r"""
 WITH o AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 10 MINUTE
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -1134,8 +1134,12 @@ WITH o AS (
   FROM events
 ),
 s AS (
+  -- the cumsum window MUST use the same (ts, event_id) tiebreaker as the
+  -- lag CTE: with ts-only ordering, duplicate timestamps at a session
+  -- boundary could order the new_session=1 row after its tie-mates and
+  -- split sessions nondeterministically.
   SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM o
 )

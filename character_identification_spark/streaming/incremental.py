@@ -315,12 +315,22 @@ def incremental_attach(
              F.min("anchor_cluster").alias("cand_cluster"))
     )
 
-    # base-side ambiguous SINGLETONS (cluster_id == own uid — unattached,
-    # pending context) may safely re-attach: moving a singleton merges no
-    # existing clusters. Attached base names stay immutable.
-    base_singletons = base_clusters.filter(
-        F.col("cluster_id") == F.col("mention_uid")
-    ).select("mention_uid", "norm")
+    # base-side ambiguous SINGLETONS may safely re-attach: moving a singleton
+    # merges no existing clusters. True singleton-ness means the cluster has
+    # exactly ONE member — `cluster_id == mention_uid` alone is not enough,
+    # because the min-uid representative of a multi-member cluster also
+    # satisfies it, and reassigning the representative would split its
+    # cluster and strand its mates on a dangling cluster id.
+    cluster_sizes = base_clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("_csize")
+    )
+    base_singletons = (
+        base_clusters.join(cluster_sizes, "cluster_id")
+        .filter(
+            (F.col("cluster_id") == F.col("mention_uid")) & (F.col("_csize") == 1)
+        )
+        .select("mention_uid", "norm")
+    )
     reassigned = (
         edges.filter(F.col("role") == "amb")
         .select(F.col("a").alias("mention_uid"), F.col("b").alias("anchor_uid"))

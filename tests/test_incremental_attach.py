@@ -129,8 +129,42 @@ def test_incremental_attach_never_merges_base_clusters(spark, small_corpus):
     base_cids = {r["cluster_id"] for r in base.collect()}
     for r in inc["assignments"].collect():
         assert r["cluster_id"] in base_cids or r["cluster_id"] in new_uids, r
-    # reassignment only ever touches base SINGLETONS (cluster == own uid)
+    # reassignment only ever touches TRUE base singletons: the mention is
+    # its own cluster id AND that cluster has exactly one member (the
+    # min-uid representative of a multi-member cluster also satisfies the
+    # first condition, and moving it would split its cluster)
     base_rows = {r["mention_uid"]: r["cluster_id"] for r in base.collect()}
+    cluster_size: dict = {}
+    for cid in base_rows.values():
+        cluster_size[cid] = cluster_size.get(cid, 0) + 1
     for r in inc["reassigned"].collect():
         assert base_rows[r["mention_uid"]] == r["mention_uid"], r
+        assert cluster_size[r["mention_uid"]] == 1, r
         assert r["cluster_id"] != r["mention_uid"], r
+
+
+def test_incremental_attach_never_moves_cluster_representative(spark):
+    """Regression for the representative-split bug: the min-uid member of a
+    multi-member base cluster satisfies `cluster_id == mention_uid` but is
+    NOT a singleton — an amb edge from a new name must not reassign it."""
+    from pyspark.sql import Row
+
+    # base: one 2-member cluster {10: "ann droz", 20: "ann o droz"} rooted
+    # at uid 10, plus an unrelated singleton.
+    base = spark.createDataFrame(
+        [
+            Row(mention_uid=10, norm="ann droz", cluster_id=10),
+            Row(mention_uid=20, norm="ann o droz", cluster_id=10),
+            Row(mention_uid=99, norm="zed quill", cluster_id=99),
+        ]
+    )
+    # new drop: a one-token ambiguous name contained in the representative's
+    # name → amb edge with the representative on one side.
+    new = spark.createDataFrame([Row(mention_uid=500, norm="droz")])
+    inc = incremental_attach(new, base)
+    moved = {r["mention_uid"] for r in inc["reassigned"].collect()}
+    assert 10 not in moved and 20 not in moved, moved
+    # the ambiguous new name may attach to cluster 10 (or wait for context),
+    # but the base rows stay untouched.
+    for r in inc["assignments"].collect():
+        assert r["mention_uid"] == 500

@@ -130,6 +130,45 @@ def test_repetition_stats_python_free(spark):
     assert "partial_" in plan  # map-side combine before the shuffle
 
 
+@needs_data
+def test_ivf_list_build_no_exchange(spark):
+    """The IVF inverted-list build must be shuffle-free: centroids are
+    inlined as literals and nearest-centroid is a per-row JVM array argmax.
+    The only hash-partitioning Exchange in the whole query is the final
+    per-query top-k window (the probes join is a BroadcastHashJoin)."""
+    from character_identification_spark.driver_contract import QUERIES
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(QUERIES["similarity_ivf"](spark, SF), mode="simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+@needs_data
+def test_cosine_topk_is_two_phase(spark):
+    """Brute-force cosine top-k must reduce per-partition (MapInPandas
+    running top-k) BEFORE the rank shuffle: the single hashpartitioning
+    Exchange sits ABOVE the MapInPandas reducer in the plan tree, so only
+    ≤ k rows per (query, partition) ever cross the wire — not the whole
+    scored corpus."""
+    from character_identification_spark.driver_contract import QUERIES
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(QUERIES["similarity_topk"](spark, SF), mode="simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "MapInPandas" in plan
+    # tree prints root-first: the Exchange (ancestor) appears before the
+    # MapInPandas (descendant) → the reduction feeds the shuffle
+    assert plan.index("Exchange hashpartitioning") < plan.index("MapInPandas"), plan
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """Bucketing both join sides on the key removes the join Exchange —
     the co-located-join strategy SCALE.md prescribes for repeated big-big
