@@ -35,10 +35,14 @@ bounded url-context in operators/context.py), the cast join is a broadcast
 of a tiny dimension, and there are NO Python UDFs — the whole plan is
 JVM-side expressions.
 
-Measured on the reference dev set (tests/test_transcript.py): pairwise F1
-≈ 0.74 at scene blocking keys — see BASELINE.md for the honest gap to the
-0.99 aspiration (pronoun resolution beyond these priors needs a learned
-model by the reference's own design).
+Round 3 adds the LEARNED antecedent scorer (plans/coref_scorer.py +
+models/coref_params.py — the reference's M2 pairwise ranking model as a
+deterministic logistic head): default p2_mode="learned" /
+p3_mode="learned_pool", dev-selected (sweep argmax, BASELINE.md), with
+pseudo-label clustering for cast-unmatched names. Measured on the
+reference corpus (tests/test_transcript.py): pairwise F1 0.7544 dev /
+0.7184 tst at scene blocking keys (rules-only round 2: 0.7430/0.7028) —
+see BASELINE.md for the honest gap to the 0.99 aspiration.
 """
 
 from __future__ import annotations
@@ -61,7 +65,7 @@ def speaker_context(utterances: DataFrame) -> DataFrame:
         "scene_id",
         "utterance_id",
         "utt_idx",
-        norm_text(F.element_at("speakers", 1)).alias("spk"),
+        norm_text(F.try_element_at("speakers", F.lit(1))).alias("spk"),
     )
     w = Window.partitionBy("scene_id").orderBy("utt_idx")
     hist = F.collect_list(F.struct("utt_idx", "spk")).over(
@@ -78,6 +82,11 @@ def speaker_context(utterances: DataFrame) -> DataFrame:
     next_d = F.try_element_at(
         F.filter(fut, lambda x: x["spk"].isNotNull() & (x["spk"] != cur)), F.lit(1)
     )["spk"]
+    prev_all = F.array_distinct(
+        F.filter(
+            F.transform(hist, lambda x: x["spk"]), lambda s: s.isNotNull()
+        )
+    )
     return u.select(
         "scene_id",
         "utterance_id",
@@ -85,13 +94,16 @@ def speaker_context(utterances: DataFrame) -> DataFrame:
         "spk",
         prev_d.alias("prev_spk"),
         next_d.alias("next_spk"),
+        prev_all.alias("prev_spks"),
     )
 
 
 def cast_table(utterances: DataFrame) -> DataFrame:
     """Distinct normalized speakers = the corpus cast dimension."""
     return (
-        utterances.select(norm_text(F.element_at("speakers", 1)).alias("cast_norm"))
+        utterances.select(
+            norm_text(F.try_element_at("speakers", F.lit(1))).alias("cast_norm")
+        )
         .filter(F.col("cast_norm").isNotNull() & (F.col("cast_norm") != ""))
         .distinct()
     )
@@ -164,28 +176,99 @@ P3_MODES = (
     "near_gender_xboth_pool",  # … current AND previous speaker excluded
     "freq_gender_pool",        # most FREQUENT preceding gender-match (scene topic prior)
     "near_gender_cata_pool",   # … plus cataphora fallback (nearest following name)
+    "learned_pool",            # logistic antecedent scorer (plans/coref_scorer.py),
+                               # τ-thresholded, any-gender-rule then pool fallback
 )
 
+#: second-person strategies (same sweep discipline)
+P2_MODES = ("prev", "vocative", "learned")
 
-def link_transcript_mentions(
-    utterances: DataFrame,
-    mentions: DataFrame,
-    label_vocab: tuple[str, ...] | None = None,
-    p3_mode: str = "near_gender_xspk_pool",
-    p2_vocative: bool = False,
-) -> DataFrame:
-    """mentions(mention_uid, utterance_id, utt_idx, sent_idx, begin,
-    surface, block_key=scene_id) + utterances → assignments
-    (mention_uid, cluster_id, auto_ref, auto_refs, kind).
+#: document order of mentions within a scene — shared by the rule windows,
+#: the learned-scorer event windows, and the trainer
+_MENTION_ORDER = ("utt_idx", "sent_idx", "begin", "mention_uid")
 
-    auto_ref is the predicted character label (null when the mention
-    resolves to no character — it then gets a deterministic singleton /
-    pool cluster). cluster_id is scene-scoped. ``label_vocab`` applies F4
-    linking-label coarsening (functions/lexicon.coarsen_to_vocab): a
-    predicted label outside the vocabulary collapses to '#other#'."""
+
+def with_antecedent_candidates(m: DataFrame) -> DataFrame:
+    """Enriched mention table → + (midx, prior_events, cands).
+
+    prior_events = recency-reversed preceding NAMING EVENTS of the scene:
+    cast-matched name mentions (src 0), first-person pronouns resolved
+    to their speaker (src 1 — 97%-accurate self-references, so "I …
+    he" chains get an antecedent even when nobody says the name), and
+    cast-UNMATCHED name mentions under their normalized surface as a
+    PSEUDO-label (src 2 — "mr heckles" never speaks and matches no cast
+    row, but pronouns can still cluster with his name mentions; the
+    measured candidate-coverage ceiling without src 2 is 39% of
+    third-person golds). cands = the scored candidate array of
+    plans/coref_scorer.py. Shared by the learned linker modes and
+    tools/train_coref_scorer.py so the trainer sees byte-identical
+    features."""
+    from character_identification_spark.plans.coref_scorer import candidate_array
+
+    order = Window.partitionBy("scene_id").orderBy(*_MENTION_ORDER)
+    m = m.withColumn("midx", F.row_number().over(order))
+    if "mg" not in m.columns:
+        m = m.withColumn(
+            "mg",
+            F.when(F.col("kind") == "p3m", "m").when(F.col("kind") == "p3f", "f"),
+        )
+    event = F.when(
+        (F.col("kind") == "name") & F.col("cast_ref").isNotNull(),
+        F.struct(
+            F.col("cast_ref").alias("ref"),
+            F.col("utt_idx").alias("utt_idx"),
+            F.col("midx").alias("midx"),
+            F.col("spk").alias("spk"),
+            F.lit(0).alias("src"),
+        ),
+    ).when(
+        (F.col("kind") == "p1") & F.col("spk").isNotNull(),
+        F.struct(
+            F.col("spk").alias("ref"),
+            F.col("utt_idx").alias("utt_idx"),
+            F.col("midx").alias("midx"),
+            F.col("spk").alias("spk"),
+            F.lit(1).alias("src"),
+        ),
+    ).when(
+        (F.col("kind") == "name")
+        & F.col("cast_ref").isNull()
+        & (F.col("norm") != ""),
+        F.struct(
+            F.col("norm").alias("ref"),
+            F.col("utt_idx").alias("utt_idx"),
+            F.col("midx").alias("midx"),
+            F.col("spk").alias("spk"),
+            F.lit(2).alias("src"),
+        ),
+    )
+    m = m.withColumn(
+        "prior_events",
+        F.reverse(
+            F.collect_list(event).over(
+                order.rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ),
+    ).withColumn(
+        # cataphora signal: FOLLOWING events, nearest first (not reversed).
+        # The rule-mode cataphora fallback raised p3 accuracy but lost F1
+        # to over-merging (BASELINE.md sweep); as scored FEATURES the
+        # model learns when a future naming is trustworthy.
+        "next_events",
+        F.collect_list(event).over(
+            order.rowsBetween(1, Window.unboundedFollowing)
+        ),
+    )
+    return m.withColumn("cands", candidate_array())
+
+
+def enriched_mention_table(utterances: DataFrame, mentions: DataFrame) -> DataFrame:
+    """mentions + speaker context + pronoun kind + cast match — the
+    common front half of the rule linker, the learned scorer, and
+    tools/train_coref_scorer.py (the trainer must see byte-identical
+    inputs to the inference path)."""
     ctx = speaker_context(utterances)
     cast = cast_table(utterances)
-
     m = (
         mentions.select(
             "mention_uid",
@@ -196,15 +279,60 @@ def link_transcript_mentions(
             norm_text(F.col("surface")).alias("norm"),
         )
         .join(
-            ctx.select("utterance_id", "utt_idx", "spk", "prev_spk", "next_spk"),
+            ctx.select(
+                "utterance_id", "utt_idx", "spk", "prev_spk", "next_spk", "prev_spks"
+            ),
             "utterance_id",
         )
         .withColumn("kind", F.coalesce(pronoun_class("norm"), F.lit("name")))
     )
     named = match_names_to_cast(m.filter(F.col("kind") == "name"), cast)
-    m = m.join(named, "mention_uid", "left")
+    return m.join(named, "mention_uid", "left")
+
+
+def link_transcript_mentions(
+    utterances: DataFrame,
+    mentions: DataFrame,
+    label_vocab: tuple[str, ...] | None = None,
+    p3_mode: str = "learned_pool",
+    p2_vocative: bool = False,
+    p2_mode: str = "learned",
+    p2_tau: float | None = None,
+    p3_tau: float | None = None,
+) -> DataFrame:
+    """mentions(mention_uid, utterance_id, utt_idx, sent_idx, begin,
+    surface, block_key=scene_id) + utterances → assignments
+    (mention_uid, cluster_id, auto_ref, auto_refs, kind).
+
+    auto_ref is the predicted character label (null when the mention
+    resolves to no character — it then gets a deterministic singleton /
+    pool cluster). cluster_id is scene-scoped. ``label_vocab`` applies F4
+    linking-label coarsening (functions/lexicon.coarsen_to_vocab): a
+    predicted label outside the vocabulary collapses to '#other#'."""
+    m = enriched_mention_table(utterances, mentions)
 
     if p2_vocative:
+        p2_mode = "vocative"
+    if p2_mode not in P2_MODES:
+        raise ValueError(f"p2_mode {p2_mode!r} not in {P2_MODES}")
+    learned_needed = p3_mode == "learned_pool" or p2_mode == "learned"
+    if learned_needed:
+        from character_identification_spark.models.coref_params import (
+            P2_TAU,
+            P2_WEIGHTS,
+            P3_TAU,
+            P3_WEIGHTS,
+        )
+        from character_identification_spark.plans.coref_scorer import learned_best
+
+        # τ defaults come from the committed params; overrides exist for
+        # the dev-F1 sweep (tools/measure_transcript_rules.py) — the
+        # committed value must be the sweep argmax (CLAUDE.md discipline)
+        P2_TAU = P2_TAU if p2_tau is None else p2_tau
+        P3_TAU = P3_TAU if p3_tau is None else p3_tau
+        m = with_antecedent_candidates(m)
+
+    if p2_mode == "vocative":
         # vocative prior: a UNIQUE cast-name mention inside the same
         # utterance that isn't the speaker names the addressee
         # ("Joey, you …" → you = joey). MEASURED AND REJECTED as the
@@ -228,8 +356,26 @@ def link_transcript_mentions(
             F.col("prev_spk"),
             F.col("next_spk"),
         )
+    elif p2_mode == "learned":
+        # logistic antecedent scorer for "you": τ-passing argmax, falling
+        # back to the 76%-accurate previous-distinct-speaker rule. A
+        # pseudo (unmatched-name) pick clusters without predicting a
+        # character label — recorded in _pseudo2, consumed by the key.
+        p2_best = learned_best("cands", P2_WEIGHTS, P2_TAU)
+        m = m.withColumn(
+            "_pseudo2",
+            F.when(
+                (F.col("kind") == "p2") & (p2_best["pseudo"] == 1.0),
+                p2_best["ref"],
+            ),
+        )
+        p2_ref = F.when(
+            p2_best.isNull(), F.coalesce(F.col("prev_spk"), F.col("next_spk"))
+        ).otherwise(F.when(p2_best["pseudo"] == 0.0, p2_best["ref"]))
     else:
         p2_ref = F.coalesce("prev_spk", "next_spk")
+    if "_pseudo2" not in m.columns:
+        m = m.withColumn("_pseudo2", F.lit(None).cast("string"))
 
     # first pass: speaker-derivable references
     ref0 = (
@@ -311,8 +457,27 @@ def link_transcript_mentions(
             F.filter("next_names", lambda x: x["g"] == mg), F.lit(1)
         )["ref"]
         p3_ref = F.coalesce(cand_gender, cand_any, cand_fut)
+    elif p3_mode == "learned_pool":
+        # logistic antecedent scorer (plans/coref_scorer.py): τ-passing
+        # argmax over the candidate array; below τ, the deterministic
+        # any-gender rule then the per-scene gender pool take over. A
+        # pseudo (unmatched-name) pick clusters without predicting a
+        # character label (_pseudo3 → the "n:" cluster key).
+        p3_best = learned_best("cands", P3_WEIGHTS, P3_TAU)
+        m = m.withColumn(
+            "_pseudo3",
+            F.when(
+                F.col("kind").isin("p3m", "p3f") & (p3_best["pseudo"] == 1.0),
+                p3_best["ref"],
+            ),
+        )
+        p3_ref = F.when(p3_best.isNull(), cand_any).otherwise(
+            F.when(p3_best["pseudo"] == 0.0, p3_best["ref"])
+        )
     else:  # near_gender_pool
         p3_ref = F.coalesce(cand_gender, cand_any)
+    if "_pseudo3" not in m.columns:
+        m = m.withColumn("_pseudo3", F.lit(None).cast("string"))
     m = m.withColumn(
         "auto_ref",
         F.when(F.col("kind").isin("p3m", "p3f"), p3_ref).otherwise(F.col("ref0")),
@@ -327,11 +492,30 @@ def link_transcript_mentions(
 
         m = m.withColumn("auto_ref", coarsen_to_vocab("auto_ref", label_vocab))
 
-    # (measured and rejected: clustering unresolved same-norm NAME mentions
-    # per scene — dev F1 −0.0005; same-surface strangers sharing a scene
-    # slightly outnumber repeated uncast characters)
+    # Cluster key precedence: resolved referent → pseudo "n:<surface>"
+    # key (learned modes: a pronoun whose best antecedent is a
+    # cast-UNMATCHED name clusters with that name's mentions; the
+    # unmatched NAME mentions themselves key by their own norm so the
+    # pair actually forms — standalone same-norm clustering without
+    # pronoun attachment was measured at −0.0005 dev F1, but WITH
+    # attachment the sweep selects it) → per-scene gender pool →
+    # singleton.
+    pseudo_key = F.when(
+        F.coalesce(F.col("_pseudo3"), F.col("_pseudo2")).isNotNull(),
+        F.concat(F.lit("n:"), F.coalesce(F.col("_pseudo3"), F.col("_pseudo2"))),
+    )
+    name_norm_key = (
+        F.when(
+            (F.col("kind") == "name") & (F.col("norm") != ""),
+            F.concat(F.lit("n:"), F.col("norm")),
+        )
+        if learned_needed
+        else F.lit(None).cast("string")
+    )
     key = F.coalesce(
         F.col("ref_raw"),
+        pseudo_key,
+        name_norm_key,
         F.when(F.col("mg").isNotNull(), F.concat(F.lit("g:"), F.col("mg"))),
         F.concat(F.lit("u:"), F.col("mention_uid").cast("string")),
     )

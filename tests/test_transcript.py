@@ -4,10 +4,13 @@ fixtures. Executes the adapter (SURVEY §2 S1-S4, F1-F3), the scene-scoped
 deterministic linker, and the full evaluator suite; the committed
 measurements live in BASELINE.md.
 
-Honest gate: pairwise F1 ≥ 0.74 on dev (measured 0.7407) — far below the
-0.99 aspiration, because ~60% of real mentions are pronouns and "he"/"you"
-resolution beyond speaker priors needs the reference's learned model.
-Precision stays ≥ 0.85: the deterministic rules rarely over-merge.
+Honest gate: pairwise F1 ≥ 0.75 on dev (measured 0.7544 with the round-3
+learned antecedent scorer; rules-only round 2: 0.7430) — still far below
+the 0.99 aspiration, because ~60% of real mentions are pronouns; the
+deterministic logistic scorer (plans/coref_scorer.py) recovers part of
+what the reference's CNN learns. Precision stays ≥ 0.85: the linker
+rarely over-merges. All gates re-derived from the round-3 measurement
+run (BASELINE.md), never loosened ad hoc.
 """
 
 from __future__ import annotations
@@ -115,7 +118,7 @@ def test_dev_harness_pairwise_gate(dev):
     assign = link_transcript_mentions(utt, gold)
     ev = pairwise_f1(assign, gold_pairs_from_mentions(gold))
     assert ev["precision"] >= 0.88
-    assert ev["f1"] >= 0.74  # measured 0.7407 — see BASELINE.md
+    assert ev["f1"] >= 0.75  # measured 0.7544 — see BASELINE.md
 
 
 @needs_ref
@@ -127,11 +130,12 @@ def test_dev_full_evaluator_suite(dev):
     # the coreferent cell of Blanc IS pairwise F1 — same confusion cell
     pw = pairwise_f1(assign, gp)
     assert abs(bl["f_coref"] - pw["f1"]) < 1e-9
-    assert bl["f1"] >= 0.82  # measured 0.8208
+    assert bl["f1"] >= 0.825  # measured 0.8294
     ce = ceaf_e(assign, gold)
-    assert 0.55 <= ce["f1"] <= 1.0  # measured 0.6316
+    assert 0.55 <= ce["f1"] <= 1.0  # measured 0.6174 (round 2: 0.6344 —
+    # pseudo-label clusters trade CEAF for the north pairwise metric)
     mac = linking_macro_f1(assign, gold)
-    assert mac["f1"] >= 0.72  # measured 0.7271
+    assert mac["f1"] >= 0.75  # measured 0.7598 pooled auto_refs view
     assign.unpersist()
 
 
@@ -195,7 +199,7 @@ def test_plural_multi_membership(spark, dev):
     # multi-membership scoring consumes the label sets end-to-end; the
     # extra addressee edges trade precision for recall around the same F1
     ev = pairwise_f1_multi(mem, gold_pairs_from_mentions(gold))
-    assert ev["f1"] >= 0.70
+    assert ev["f1"] >= 0.80  # measured 0.8035 (round 2 gate: 0.70)
     assign.unpersist()
 
 

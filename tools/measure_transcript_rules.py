@@ -64,7 +64,15 @@ def main() -> None:
     gp = gold_pairs_from_mentions(gold).cache()
     gp.count()
     for mode in modes:
-        assign = link_transcript_mentions(utt, gold, p3_mode=mode).cache()
+        # "p3mode[@tau]" or "p3mode[@tau]/p2mode[@tau]" (p2 default "prev")
+        p3spec, _, p2spec = mode.partition("/")
+        p3m, _, p3t = p3spec.partition("@")
+        p2m, _, p2t = p2spec.partition("@")
+        assign = link_transcript_mentions(
+            utt, gold, p3_mode=p3m, p2_mode=p2m or "prev",
+            p3_tau=float(p3t) if p3t else None,
+            p2_tau=float(p2t) if p2t else None,
+        ).cache()
         ev = pairwise_f1(assign, gp)
         acc = rule_accuracy(assign, gold)
         accs = " ".join(
