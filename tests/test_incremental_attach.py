@@ -143,6 +143,90 @@ def test_incremental_attach_never_merges_base_clusters(spark, small_corpus):
         assert r["cluster_id"] != r["mention_uid"], r
 
 
+def test_incremental_attach_multi_drop_converges_each_cadence(spark, small_corpus):
+    """Streaming E2E across ≥3 drops: attach drop k, then run the cadence
+    step (apply the deferred merge_queue + reassignments), and assert the
+    maintained clustering matches the full-batch fixpoint over everything
+    seen so far — at EVERY cadence, not just the last one. This is the
+    lambda-split contract: between cadences the base is append-only and
+    merge-free; the cadence applies exactly the deferred evidence."""
+    from character_identification_spark.functions.hashing import h_long
+    from character_identification_spark.ingest.extract import extracted_pages
+    from character_identification_spark.ingest.mentions import extract_mentions
+
+    pages, _ = small_corpus
+    names = (
+        extract_mentions(extracted_pages(pages, "en"))
+        .select("norm")
+        .distinct()
+        .withColumn("mention_uid", h_long(F.col("norm")))
+        .cache()
+    )
+    part = F.crc32("norm") % 4  # base + 3 drops
+    base_df = names.filter(part == 0)
+    base_state = {
+        (r["mention_uid"], r["norm"]): r["cluster_id"]
+        for r in _cluster_names(base_df).collect()
+    }
+    seen = base_df
+
+    for k in (1, 2, 3):
+        drop = names.filter(part == k)
+        assert drop.count() > 3
+        base_rows = spark.createDataFrame(
+            [(uid, norm, cid) for (uid, norm), cid in base_state.items()],
+            "mention_uid long, norm string, cluster_id long",
+        )
+        inc = incremental_attach(drop, base_rows)
+
+        # between cadences: base rows are immutable except true-singleton
+        # reassignment; assignments cover exactly the drop
+        drop_uids = {r["mention_uid"] for r in drop.collect()}
+        got_uids = [r["mention_uid"] for r in inc["assignments"].collect()]
+        assert sorted(got_uids) == sorted(drop_uids)
+
+        # cadence step: fold in assignments + reassignments, then apply
+        # the deferred merges with a union-find (what the cadence batch's
+        # full CC would conclude from the same evidence)
+        reassigned = {
+            r["mention_uid"]: r["cluster_id"] for r in inc["reassigned"].collect()
+        }
+        state = {
+            key: reassigned.get(key[0], cid) for key, cid in base_state.items()
+        }
+        for r in inc["assignments"].collect():
+            state[(r["mention_uid"], r["norm"])] = r["cluster_id"]
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in inc["merge_queue"].collect():
+            a, b = find(r["cluster_a"]), find(r["cluster_b"])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        state = {key: find(cid) for key, cid in state.items()}
+
+        seen = seen.unionByName(drop)
+        batch = [
+            (r["mention_uid"], r["cluster_id"])
+            for r in _cluster_names(seen).select("mention_uid", "cluster_id").collect()
+        ]
+        got = _pairs_of([(uid, cid) for (uid, _n), cid in state.items()])
+        want = _pairs_of(batch)
+        assert len(got & want) / max(len(want), 1) >= 0.95, (
+            k, len(got & want), len(want),
+        )
+        assert len(got - want) <= max(2, len(want) // 50), (k, sorted(got - want)[:5])
+        base_state = state
+
+    names.unpersist()
+
+
 def test_incremental_attach_never_moves_cluster_representative(spark):
     """Regression for the representative-split bug: the min-uid member of a
     multi-member base cluster satisfies `cluster_id == mention_uid` but is
