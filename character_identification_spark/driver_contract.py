@@ -536,6 +536,33 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 1-hour duration, 30-minute
+    slide — every event contributes to exactly TWO overlapping windows
+    (the streaming overlap shape tumbling can't express; Spark's
+    F.window(duration, slide) materializes the window set per row, so at
+    scale this is a 2× row fan-out into the same keyed aggregation, no
+    extra shuffle stage). Oracle: the two shifted 30-minute buckets per
+    event, unioned (oracles.SQL_EVENTS_HOPPING)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (Spark's session_window — the batch twin
     of the streaming session aggregation): per user, events closer than
@@ -1038,6 +1065,7 @@ QUERIES = {
     "asof_prev_event": q_asof_prev_event,
     "asof_join_events": q_asof_join_events,
     "events_tumbling": q_events_tumbling,
+    "events_hopping": q_events_hopping,
     "events_sessions": q_events_sessions,
     "events_rollup": q_events_rollup,
     "events_neighbors": q_events_neighbors,

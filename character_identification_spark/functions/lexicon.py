@@ -66,6 +66,55 @@ _MALE_ONLY = sorted(set(MALE_NAMES) - _AMBIG)
 _FEMALE_ONLY = sorted(set(FEMALE_NAMES) - _AMBIG)
 
 
+# Relational / common-noun mention heads (closed public-knowledge lists).
+# These surfaces ("honey", "dad", "the guy") are not NAMES — cast-surface
+# matching can never resolve them — but they behave like pronouns: their
+# referent is a context antecedent (the round-3 diagnosis found 118 dev
+# name-mentions unresolvable by matching whose gold IS a cast member,
+# dominated by exactly these heads). Gendered heads carry an m/f hint.
+NOM_MASC = (
+    "man men guy guys boy dad father husband boyfriend brother uncle "
+    "grandpa grandfather son nephew waiter actor king prince mister sir"
+).split()
+NOM_FEM = (
+    "woman women girl girls lady ladies mom mother wife girlfriend sister "
+    "aunt grandma grandmother daughter niece waitress actress queen "
+    "princess madam"
+).split()
+NOM_NEUT = (
+    "honey sweetie sweetheart babe baby darling dear friend buddy pal "
+    "roommate neighbor neighbour boss doctor dude kid person people date "
+    "twin cousin parent parents folks everyone everybody someone somebody"
+).split()
+#: determiners/possessives stripped before the head-word lookup
+_NOM_PREFIX = (
+    "the a an my your his her our their this that these those little big "
+    "old new other poor dear sweet"
+).split()
+
+
+def nominal_head(norm_col: Column | str = "norm") -> Column:
+    """Head word of a short nominal: strip leading determiner/possessive/
+    adjective tokens and return the remainder IF it is a single token —
+     'my dad' → 'dad', 'the guy' → 'guy', 'guy in the suit' → null."""
+    c = F.col(norm_col) if isinstance(norm_col, str) else norm_col
+    toks = F.split(c, " ")
+    rest = F.filter(toks, lambda t: ~t.isin(*_NOM_PREFIX))
+    return F.when(F.size(rest) == 1, F.element_at(rest, 1))
+
+
+def nominal_class(norm_col: Column | str = "norm") -> Column:
+    """'nom' when the mention is a relational/common-noun head, else null."""
+    h = nominal_head(norm_col)
+    return F.when(h.isin(*(NOM_MASC + NOM_FEM + NOM_NEUT)), "nom")
+
+
+def nominal_gender(norm_col: Column | str = "norm") -> Column:
+    """'m' | 'f' | null gender hint for a nominal mention."""
+    h = nominal_head(norm_col)
+    return F.when(h.isin(*NOM_MASC), "m").when(h.isin(*NOM_FEM), "f")
+
+
 def pronoun_class(norm_col: Column | str = "norm") -> Column:
     """'p1' | 'p2' | 'p3m' | 'p3f' | 'ppl' | null for a normalized token."""
     c = F.col(norm_col) if isinstance(norm_col, str) else norm_col

@@ -1124,6 +1124,20 @@ FROM events
 GROUP BY 1, 2, 3
 """
 
+SQL_EVENTS_HOPPING = r"""
+WITH w AS (
+  SELECT event_type, value, time_bucket(INTERVAL 30 MINUTE, ts) AS ws
+  FROM events
+  UNION ALL
+  SELECT event_type, value,
+         time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS ws
+  FROM events
+)
+SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end, event_type,
+       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS sum_value
+FROM w GROUP BY 1, 2, 3
+"""
+
 SQL_EVENTS_SESSIONS = r"""
 WITH o AS (
   SELECT user_id, ts, value, event_id,
@@ -1405,6 +1419,7 @@ ORACLES = {
     "asof_prev_event": SQL_ASOF_PREV_EVENT,
     "asof_join_events": SQL_ASOF_JOIN_EVENTS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
+    "events_hopping": SQL_EVENTS_HOPPING,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_neighbors": SQL_EVENTS_NEIGHBORS,

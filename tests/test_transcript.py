@@ -140,6 +140,40 @@ def test_dev_full_evaluator_suite(dev):
 
 
 @needs_ref
+def test_linking_head_hybrid_gate(dev):
+    """M4 learned linking head (reference linking.py:26-80 analog): on
+    the coarsened linking task (main six + '#other#', the reference's F4
+    setup) the HYBRID — rule labels where resolved, softmax head for the
+    clusters the rules leave unresolved — must beat the rules alone.
+    Measured (BASELINE.md round 3, primary-label view both sides):
+    rules 0.7855, hybrid 0.8487 dev (held-out tst: hybrid 0.8279 vs
+    pooled-rules 0.7951). Gates = measured − margin."""
+    from character_identification_spark.plans.linking_head import hybrid_link
+
+    utt, gold = dev
+    vocab = ("rachel green", "ross geller", "chandler bing",
+             "monica geller", "joey tribbiani", "phoebe buffay")
+    assign = link_transcript_mentions(utt, gold, label_vocab=vocab).cache()
+    gold_c = gold.withColumn(
+        "gold_refs",
+        F.array_distinct(
+            F.transform(
+                "gold_refs",
+                lambda x: F.when(x.isin(*vocab), x).otherwise(F.lit("#other#")),
+            )
+        ),
+    )
+    rules = linking_macro_f1(assign, gold_c, auto_refs_col="auto_ref")
+    hyb = linking_macro_f1(
+        hybrid_link(assign, gold), gold_c, auto_refs_col="auto_ref"
+    )
+    assert rules["f1"] >= 0.78, rules  # measured 0.7855
+    assert hyb["f1"] >= 0.84, hyb      # measured 0.8487
+    assert hyb["f1"] > rules["f1"]
+    assign.unpersist()
+
+
+@needs_ref
 def test_ceaf_perfect_on_gold_replay(spark, dev):
     """CEAF-e must be exactly 1.0 when auto == gold clusters (replay the
     singular gold as assignments)."""
