@@ -39,9 +39,11 @@ Round 3 adds the LEARNED antecedent scorer (plans/coref_scorer.py +
 models/coref_params.py — the reference's M2 pairwise ranking model as a
 deterministic logistic head): default p2_mode="learned" /
 p3_mode="learned_pool", dev-selected (sweep argmax, BASELINE.md), with
-pseudo-label clustering for cast-unmatched names. Measured on the
-reference corpus (tests/test_transcript.py): pairwise F1 0.7544 dev /
-0.7184 tst at scene blocking keys (rules-only round 2: 0.7430/0.7028) —
+pseudo-label clustering for cast-unmatched names and a NOMINAL mention
+class ("honey"/"my dad"/"the guy" resolve like pronouns through their
+own trained head, never through cast-surface matching). Measured on the
+reference corpus (tests/test_transcript.py): pairwise F1 0.7604 dev /
+0.7203 tst at scene blocking keys (rules-only round 2: 0.7430/0.7028) —
 see BASELINE.md for the honest gap to the 0.99 aspiration.
 """
 
@@ -52,6 +54,9 @@ from pyspark.sql import functions as F
 
 from character_identification_spark.functions.lexicon import (
     label_gender,
+    nominal_class,
+    nominal_gender,
+    nominal_head,
     pronoun_class,
 )
 from character_identification_spark.functions.strings import norm_text
@@ -208,10 +213,7 @@ def with_antecedent_candidates(m: DataFrame) -> DataFrame:
     order = Window.partitionBy("scene_id").orderBy(*_MENTION_ORDER)
     m = m.withColumn("midx", F.row_number().over(order))
     if "mg" not in m.columns:
-        m = m.withColumn(
-            "mg",
-            F.when(F.col("kind") == "p3m", "m").when(F.col("kind") == "p3f", "f"),
-        )
+        m = m.withColumn("mg", _mention_gender())
     event = F.when(
         (F.col("kind") == "name") & F.col("cast_ref").isNotNull(),
         F.struct(
@@ -284,10 +286,27 @@ def enriched_mention_table(utterances: DataFrame, mentions: DataFrame) -> DataFr
             ),
             "utterance_id",
         )
-        .withColumn("kind", F.coalesce(pronoun_class("norm"), F.lit("name")))
+        .withColumn(
+            # pronouns → p1/p2/p3m/p3f/ppl; relational common nouns
+            # ("honey", "my dad", "the guy") → 'nom' (cast-surface
+            # matching can never resolve these — they resolve like
+            # pronouns, via context antecedents); everything else → name
+            "kind",
+            F.coalesce(pronoun_class("norm"), nominal_class("norm"), F.lit("name")),
+        )
     )
     named = match_names_to_cast(m.filter(F.col("kind") == "name"), cast)
     return m.join(named, "mention_uid", "left")
+
+
+def _mention_gender():
+    """m/f gender hint: third-person pronoun class, else the nominal
+    head's lexicon gender ('the guy' → m)."""
+    return (
+        F.when(F.col("kind") == "p3m", "m")
+        .when(F.col("kind") == "p3f", "f")
+        .when(F.col("kind") == "nom", nominal_gender("norm"))
+    )
 
 
 def link_transcript_mentions(
@@ -318,6 +337,8 @@ def link_transcript_mentions(
     learned_needed = p3_mode == "learned_pool" or p2_mode == "learned"
     if learned_needed:
         from character_identification_spark.models.coref_params import (
+            NOM_TAU,
+            NOM_WEIGHTS,
             P2_TAU,
             P2_WEIGHTS,
             P3_TAU,
@@ -383,10 +404,7 @@ def link_transcript_mentions(
         .when(F.col("kind") == "p2", p2_ref)
         .when(F.col("kind") == "name", F.col("cast_ref"))
     )
-    m = m.withColumn("ref0", ref0).withColumn(
-        "mg",
-        F.when(F.col("kind") == "p3m", "m").when(F.col("kind") == "p3f", "f"),
-    )
+    m = m.withColumn("ref0", ref0).withColumn("mg", _mention_gender())
 
     # second pass: third-person antecedents from preceding NAME mentions
     # (document order within the scene; one scene of structs per window)
@@ -478,9 +496,28 @@ def link_transcript_mentions(
         p3_ref = F.coalesce(cand_gender, cand_any)
     if "_pseudo3" not in m.columns:
         m = m.withColumn("_pseudo3", F.lit(None).cast("string"))
+    # nominal mentions ("honey", "the guy") resolve through the SAME
+    # learned antecedent scorer (their own trained head) in learned mode;
+    # without it they stay unresolved and fall to the gender-pool /
+    # same-head cluster keys below
+    if learned_needed:
+        nom_best = learned_best("cands", NOM_WEIGHTS, NOM_TAU)
+        m = m.withColumn(
+            "_pseudoN",
+            F.when(
+                (F.col("kind") == "nom") & (nom_best["pseudo"] == 1.0),
+                nom_best["ref"],
+            ),
+        )
+        nom_ref = F.when(nom_best["pseudo"] == 0.0, nom_best["ref"])
+    else:
+        m = m.withColumn("_pseudoN", F.lit(None).cast("string"))
+        nom_ref = F.lit(None).cast("string")
     m = m.withColumn(
         "auto_ref",
-        F.when(F.col("kind").isin("p3m", "p3f"), p3_ref).otherwise(F.col("ref0")),
+        F.when(F.col("kind").isin("p3m", "p3f"), p3_ref)
+        .when(F.col("kind") == "nom", nom_ref)
+        .otherwise(F.col("ref0")),
     )
     # F4 coarsening applies to the LINKING label only (the reference
     # coarsens the refs fed to its linking classifier, system.py:189-193);
@@ -500,14 +537,22 @@ def link_transcript_mentions(
     # pronoun attachment was measured at −0.0005 dev F1, but WITH
     # attachment the sweep selects it) → per-scene gender pool →
     # singleton.
+    _pseudo_any = F.coalesce(F.col("_pseudo3"), F.col("_pseudo2"), F.col("_pseudoN"))
     pseudo_key = F.when(
-        F.coalesce(F.col("_pseudo3"), F.col("_pseudo2")).isNotNull(),
-        F.concat(F.lit("n:"), F.coalesce(F.col("_pseudo3"), F.col("_pseudo2"))),
+        _pseudo_any.isNotNull(), F.concat(F.lit("n:"), _pseudo_any)
     )
     name_norm_key = (
         F.when(
             (F.col("kind") == "name") & (F.col("norm") != ""),
             F.concat(F.lit("n:"), F.col("norm")),
+        ).when(
+            # unresolved nominals cluster by their HEAD within the scene
+            # ("my dad" ∪ "dad" — usually the same dad; "nm:" prefix so a
+            # person literally NAMED Guy never merges with "the guy").
+            # Joining the shared g: pools instead was measured and
+            # rejected on dev (see BASELINE.md round-3 notes).
+            F.col("kind") == "nom",
+            F.concat(F.lit("nm:"), nominal_head("norm")),
         )
         if learned_needed
         else F.lit(None).cast("string")
@@ -516,7 +561,10 @@ def link_transcript_mentions(
         F.col("ref_raw"),
         pseudo_key,
         name_norm_key,
-        F.when(F.col("mg").isNotNull(), F.concat(F.lit("g:"), F.col("mg"))),
+        F.when(
+            (F.col("kind") != "nom") & F.col("mg").isNotNull(),
+            F.concat(F.lit("g:"), F.col("mg")),
+        ),
         F.concat(F.lit("u:"), F.col("mention_uid").cast("string")),
     )
     # M5 multi-membership: a plural mention refers to a label SET — "we"

@@ -4,13 +4,13 @@ fixtures. Executes the adapter (SURVEY §2 S1-S4, F1-F3), the scene-scoped
 deterministic linker, and the full evaluator suite; the committed
 measurements live in BASELINE.md.
 
-Honest gate: pairwise F1 ≥ 0.75 on dev (measured 0.7544 with the round-3
-learned antecedent scorer; rules-only round 2: 0.7430) — still far below
-the 0.99 aspiration, because ~60% of real mentions are pronouns; the
-deterministic logistic scorer (plans/coref_scorer.py) recovers part of
-what the reference's CNN learns. Precision stays ≥ 0.85: the linker
-rarely over-merges. All gates re-derived from the round-3 measurement
-run (BASELINE.md), never loosened ad hoc.
+Honest gate: pairwise F1 ≥ 0.76 on dev (measured 0.7604 with the round-3
+learned antecedent scorer + nominal mention class; rules-only round 2:
+0.7430) — still far below the 0.99 aspiration, because ~60% of real
+mentions are pronouns; the deterministic logistic scorer
+(plans/coref_scorer.py) recovers part of what the reference's CNN
+learns. All gates re-derived from the round-3 measurement run
+(BASELINE.md), never loosened ad hoc.
 """
 
 from __future__ import annotations
@@ -117,8 +117,9 @@ def test_dev_harness_pairwise_gate(dev):
     utt, gold = dev
     assign = link_transcript_mentions(utt, gold)
     ev = pairwise_f1(assign, gold_pairs_from_mentions(gold))
-    assert ev["precision"] >= 0.88
-    assert ev["f1"] >= 0.75  # measured 0.7544 — see BASELINE.md
+    assert ev["precision"] >= 0.87  # measured 0.8753 (nominal heads trade
+    # a little pool precision for +0.006 F1 — the north metric)
+    assert ev["f1"] >= 0.76  # measured 0.7604 — see BASELINE.md
 
 
 @needs_ref
@@ -130,12 +131,12 @@ def test_dev_full_evaluator_suite(dev):
     # the coreferent cell of Blanc IS pairwise F1 — same confusion cell
     pw = pairwise_f1(assign, gp)
     assert abs(bl["f_coref"] - pw["f1"]) < 1e-9
-    assert bl["f1"] >= 0.825  # measured 0.8294
+    assert bl["f1"] >= 0.83  # measured 0.8327
     ce = ceaf_e(assign, gold)
-    assert 0.55 <= ce["f1"] <= 1.0  # measured 0.6174 (round 2: 0.6344 —
+    assert 0.55 <= ce["f1"] <= 1.0  # measured 0.6178 (round 2: 0.6344 —
     # pseudo-label clusters trade CEAF for the north pairwise metric)
     mac = linking_macro_f1(assign, gold)
-    assert mac["f1"] >= 0.75  # measured 0.7598 pooled auto_refs view
+    assert mac["f1"] >= 0.76  # measured 0.7665 pooled auto_refs view
     assign.unpersist()
 
 
@@ -145,9 +146,9 @@ def test_linking_head_hybrid_gate(dev):
     the coarsened linking task (main six + '#other#', the reference's F4
     setup) the HYBRID — rule labels where resolved, softmax head for the
     clusters the rules leave unresolved — must beat the rules alone.
-    Measured (BASELINE.md round 3, primary-label view both sides):
-    rules 0.7855, hybrid 0.8487 dev (held-out tst: hybrid 0.8279 vs
-    pooled-rules 0.7951). Gates = measured − margin."""
+    Measured (BASELINE.md round 3, with the nominal mention class):
+    hybrid 0.8497 dev / 0.8282 tst vs pooled-rules 0.8031/0.7836.
+    Gates = measured − margin."""
     from character_identification_spark.plans.linking_head import hybrid_link
 
     utt, gold = dev
@@ -233,7 +234,7 @@ def test_plural_multi_membership(spark, dev):
     # multi-membership scoring consumes the label sets end-to-end; the
     # extra addressee edges trade precision for recall around the same F1
     ev = pairwise_f1_multi(mem, gold_pairs_from_mentions(gold))
-    assert ev["f1"] >= 0.80  # measured 0.8035 (round 2 gate: 0.70)
+    assert ev["f1"] >= 0.80  # measured 0.8083 (round 2 gate: 0.70)
     assign.unpersist()
 
 

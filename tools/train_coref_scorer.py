@@ -184,13 +184,13 @@ def main() -> None:
     gold = transcript_gold_mentions(utt).cache()
 
     tau_override = {}
-    for cls in ("p2", "p3"):
+    for cls in ("p2", "p3", "nom"):
         flag = f"--tau-{cls}"
         if flag in sys.argv:
             tau_override[cls.upper()] = float(sys.argv[sys.argv.index(flag) + 1])
 
     out = {}
-    for name, kinds in (("P2", ("p2",)), ("P3", ("p3m", "p3f"))):
+    for name, kinds in (("P2", ("p2",)), ("P3", ("p3m", "p3f")), ("NOM", ("nom",))):
         groups, X, y = feature_rows(utt, gold, kinds)
         w = train_logistic(X, y, epochs)
         acc_tau, acc, top1 = pick_tau(groups, w)
@@ -220,7 +220,7 @@ def main() -> None:
         "ranking model) with the decode of :112-145; this engine's scorer is\n"
         'the deterministic logistic analog mandated by the no-RNG invariant.\n"""\n\n'
     )
-    for name in ("P2", "P3"):
+    for name in ("P2", "P3", "NOM"):
         w, tau = out[name]
         ws = ",\n    ".join(
             f"{v!r},  # {f}" for f, v in zip(FEATURES, w)
