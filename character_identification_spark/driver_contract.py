@@ -563,6 +563,27 @@ def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of event value per type
+    (Spark `percentile`, NOT the sketch-based percentile_approx — the
+    exact form matches DuckDB's quantile_cont bit-for-bit after 6-dp
+    rounding; at 100-TB scale swap in percentile_approx and keep this
+    exact form as its small-sample oracle, the same exact/approx pairing
+    the similarity family uses)."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))").alias("qs"),
+        F.count("*").alias("n_events"),
+    )
+    return q.select(
+        "event_type",
+        F.round(F.element_at("qs", 1), 6).alias("p50"),
+        F.round(F.element_at("qs", 2), 6).alias("p90"),
+        F.round(F.element_at("qs", 3), 6).alias("p99"),
+        "n_events",
+    )
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (Spark's session_window — the batch twin
     of the streaming session aggregation): per user, events closer than
@@ -1066,6 +1087,7 @@ QUERIES = {
     "asof_join_events": q_asof_join_events,
     "events_tumbling": q_events_tumbling,
     "events_hopping": q_events_hopping,
+    "events_quantiles": q_events_quantiles,
     "events_sessions": q_events_sessions,
     "events_rollup": q_events_rollup,
     "events_neighbors": q_events_neighbors,

@@ -1138,6 +1138,15 @@ SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end, event_type,
 FROM w GROUP BY 1, 2, 3
 """
 
+SQL_EVENTS_QUANTILES = r"""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
 SQL_EVENTS_SESSIONS = r"""
 WITH o AS (
   SELECT user_id, ts, value, event_id,
@@ -1420,6 +1429,7 @@ ORACLES = {
     "asof_join_events": SQL_ASOF_JOIN_EVENTS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_hopping": SQL_EVENTS_HOPPING,
+    "events_quantiles": SQL_EVENTS_QUANTILES,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_neighbors": SQL_EVENTS_NEIGHBORS,
