@@ -141,6 +141,26 @@ def test_dev_full_evaluator_suite(dev):
 
 
 @needs_ref
+def test_learned_linker_plan_is_python_free(dev):
+    """The learned decode is inlined literal weights in Catalyst
+    expressions — the WHOLE linker plan (scorer included) must contain
+    no Python evaluation nodes and only the scene-window/cast-join
+    shuffles the rule linker already had."""
+    import io
+    from contextlib import redirect_stdout
+
+    utt, gold = dev
+    df = link_transcript_mentions(utt, gold)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="simple")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+@needs_ref
 def test_linking_head_hybrid_gate(dev):
     """M4 learned linking head (reference linking.py:26-80 analog): on
     the coarsened linking task (main six + '#other#', the reference's F4
