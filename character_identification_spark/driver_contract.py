@@ -563,6 +563,33 @@ def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling (curation.
+    stratified_sample) — the training-data rebalancing primitive. The
+    md5-uniform draw is keyed by doc_id, so the exact kept-set is
+    engine-independent (the DuckDB oracle reproduces it row-for-row);
+    'fr' is absent from the map → dropped (allowlist semantics)."""
+    from character_identification_spark.operators.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, {"en": 0.5, "de": 0.25, "zh": 0.1, "es": 1.0}, strata_col="lang"
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-weight mixing bookkeeping (curation.mixing_report): apply
+    source-keyed deterministic sampling and report per source
+    (n_total, n_kept, realized_rate) — unmapped sources report 0 kept."""
+    from character_identification_spark.operators.curation import mixing_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixing_report(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    )
+
+
 def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles of event value per type
     (Spark `percentile`, NOT the sketch-based percentile_approx — the
@@ -1088,6 +1115,8 @@ QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_hopping": q_events_hopping,
     "events_quantiles": q_events_quantiles,
+    "sample_stratified": q_sample_stratified,
+    "mix_corpora": q_mix_corpora,
     "events_sessions": q_events_sessions,
     "events_rollup": q_events_rollup,
     "events_neighbors": q_events_neighbors,

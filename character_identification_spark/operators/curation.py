@@ -205,3 +205,74 @@ def keep_best_per_cluster(
             "n_members",
         )
     )
+
+
+def md5_uniform(col: Column | str, salt: str) -> Column:
+    """Deterministic uniform-[0,1) draw per row: md5(salt|key)'s 60-bit
+    prefix over 2^60 — the engine's sampling primitive. A pure function
+    of (salt, key): identical across runs, partitionings, and engines
+    (DuckDB recomputes it bit-for-bit), so samples are exactly
+    reproducible and survive resume — the property lazy RNG state can
+    never give (the reference's features.py:195-197 anti-pattern)."""
+    from character_identification_spark.functions.hashing import h_long
+
+    c = F.col(col) if isinstance(col, str) else col
+    return h_long(F.concat_ws("|", F.lit(salt), c.cast("string"))) / F.lit(
+        float(2**60)
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-data MIXING
+    primitive (language/source rebalancing at corpus scale): keep a row
+    iff md5_uniform(id) < fractions[stratum]; strata absent from the map
+    are DROPPED (explicit allowlist semantics). Shuffle-free: a pure
+    filter that fuses into the scan, so at 100 TB it runs at read
+    bandwidth and composes with predicate pushdown on the strata
+    column. Unlike df.sample(), the draw is keyed by row id, not by
+    partition position — adding executors or reordering files cannot
+    change the sample."""
+    u = md5_uniform(id_col, salt)
+    frac = None
+    for k, v in sorted(fractions.items()):
+        cond = F.when(F.col(strata_col) == k, F.lit(float(v)))
+        frac = cond if frac is None else frac.when(
+            F.col(strata_col) == k, F.lit(float(v))
+        )
+    frac = (frac.otherwise(0.0) if frac is not None else F.lit(0.0))
+    return docs.filter(u < frac)
+
+
+def mixing_report(
+    docs: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Dataset-mixing bookkeeping: apply stratified_sample over the
+    SOURCE column (corpus-weight mixing, the standard pretraining-data
+    recipe step) and report per source (n_total, n_kept,
+    realized_rate) — the numbers a mixing config review needs. The
+    realized rate converges to the weight at scale; at small n the
+    deterministic draw makes the exact kept-set reproducible anyway."""
+    kept = stratified_sample(docs, weights, source_col, id_col, salt)
+    tot = docs.groupBy(source_col).agg(F.count("*").alias("n_total"))
+    k = kept.groupBy(source_col).agg(F.count("*").alias("n_kept"))
+    return (
+        tot.join(k, source_col, "left")
+        .select(
+            source_col,
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.round(
+                F.coalesce("n_kept", F.lit(0)) / F.col("n_total").cast("double"), 6
+            ).alias("realized_rate"),
+        )
+    )

@@ -1138,6 +1138,33 @@ SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end, event_type,
 FROM w GROUP BY 1, 2, 3
 """
 
+_DD_U60 = (
+    "CAST(CAST('0x' || substr(md5('{salt}|' || CAST({key} AS VARCHAR)), 1, 15) "
+    "AS UBIGINT) AS BIGINT) / 1152921504606846976.0"
+)
+
+SQL_SAMPLE_STRATIFIED = rf"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_DD_U60.format(salt="strat", key="doc_id")} <
+      CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                WHEN 'zh' THEN 0.1 WHEN 'es' THEN 1.0 ELSE 0.0 END
+"""
+
+SQL_MIX_CORPORA = rf"""
+WITH kept AS (
+  SELECT source FROM documents
+  WHERE {_DD_U60.format(salt="mix", key="doc_id")} <
+        CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                    WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1 ELSE 0.0 END
+),
+tot AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+k AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY source)
+SELECT t.source, t.n_total, COALESCE(k.n_kept, 0) AS n_kept,
+       round(COALESCE(k.n_kept, 0) / CAST(t.n_total AS DOUBLE), 6) AS realized_rate
+FROM tot t LEFT JOIN k USING (source)
+"""
+
 SQL_EVENTS_QUANTILES = r"""
 SELECT event_type,
        round(quantile_cont(value, 0.5), 6) AS p50,
@@ -1430,6 +1457,8 @@ ORACLES = {
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_hopping": SQL_EVENTS_HOPPING,
     "events_quantiles": SQL_EVENTS_QUANTILES,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "mix_corpora": SQL_MIX_CORPORA,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_neighbors": SQL_EVENTS_NEIGHBORS,

@@ -131,3 +131,42 @@ def test_canonical_url_idempotent(spark):
     )
     bad = out.filter(F.col("c1") != F.col("c2")).collect()
     assert not bad, bad[:5]
+
+
+def test_stratified_sample_deterministic_and_allowlisted(spark):
+    from character_identification_spark.operators.curation import (
+        md5_uniform,
+        mixing_report,
+        stratified_sample,
+    )
+
+    docs = spark.range(0, 400).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 4 = 0 THEN 'en' WHEN id % 4 = 1 THEN 'de' "
+        "WHEN id % 4 = 2 THEN 'fr' ELSE 'zh' END AS lang",
+        "concat('src', CAST(id % 2 AS STRING)) AS source",
+    )
+    out = stratified_sample(docs, {"en": 1.0, "de": 0.4}, strata_col="lang")
+    rows = [(r["doc_id"], r["lang"]) for r in out.collect()]
+    # allowlist: unmapped strata fully dropped; fraction 1.0 keeps all
+    assert all(lang in ("en", "de") for _, lang in rows)
+    assert sum(1 for _, lang in rows if lang == "en") == 100
+    n_de = sum(1 for _, lang in rows if lang == "de")
+    assert 20 <= n_de <= 60  # ~0.4 of 100, deterministic but not exact
+    # keyed draw: identical across repartitionings (df.sample is NOT)
+    rows2 = [
+        (r["doc_id"], r["lang"])
+        for r in stratified_sample(
+            docs.repartition(13), {"en": 1.0, "de": 0.4}, strata_col="lang"
+        ).collect()
+    ]
+    assert sorted(rows) == sorted(rows2)
+    # the uniform draw itself is a pure function in [0, 1)
+    us = [r["u"] for r in docs.select(md5_uniform("doc_id", "strat").alias("u")).collect()]
+    assert all(0.0 <= u < 1.0 for u in us)
+    # mixing report covers every source, zeros for unmapped ones
+    rep = {r["source"]: r for r in mixing_report(docs, {"src0": 0.5}).collect()}
+    assert set(rep) == {"src0", "src1"}
+    assert rep["src1"]["n_kept"] == 0
+    assert rep["src0"]["n_total"] == 200
+    assert abs(rep["src0"]["realized_rate"] - rep["src0"]["n_kept"] / 200) < 1e-9
