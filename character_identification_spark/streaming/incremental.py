@@ -161,6 +161,90 @@ def run_incremental_ingest(
     return writer.start()
 
 
+def current_base(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read the streaming-attach state: the seed base plus every batch's
+    accepted assignments, with reassignment overrides applied (later
+    batches win per mention — max batch id)."""
+    from pyspark.sql import Window
+
+    base = spark.read.parquet(os.path.join(state_dir, "base"))
+    re_dir = os.path.join(state_dir, "reassigned")
+    parts = [base]
+    if os.path.exists(re_dir) and any(
+        f.endswith(".parquet") or f.startswith("batch=")
+        for f in os.listdir(re_dir)
+    ):
+        parts.append(spark.read.parquet(re_dir))
+    allrows = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    w = Window.partitionBy("mention_uid").orderBy(F.desc("batch"))
+    return (
+        allrows.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("mention_uid", "norm", "cluster_id")
+    )
+
+
+def run_streaming_attach(
+    spark: SparkSession,
+    names_dir: str,
+    state_dir: str,
+    seed_base: DataFrame,
+    max_files_per_trigger: int = 1,
+):
+    """Structured-Streaming cluster maintenance: a file stream of name
+    drops drives incremental_attach per micro-batch via foreachBatch.
+
+    State protocol (exactly-once without a transactional store): the
+    seed base lands in state_dir/base/batch=0; each micro-batch OVERWRITES
+    its own partition dirs base/batch=<id+1>, reassigned/batch=<id+1>,
+    merge_queue/batch=<id+1> — a retried batch rewrites the identical
+    deterministic content, so replays are idempotent; readers
+    (current_base) resolve per-mention precedence by max batch id. The
+    merge_queue partitions accumulate the deferred evidence the cadence
+    batch consumes (SCALE.md cadence policy).
+
+    Returns the awaited StreamingQuery (availableNow trigger)."""
+    seed_base.select("mention_uid", "norm", "cluster_id").withColumn(
+        "batch", F.lit(0).cast("long")
+    ).write.mode("overwrite").parquet(os.path.join(state_dir, "base", "batch=0"))
+
+    def attach_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_id + 1  # batch 0 is the seed
+        base = current_base(batch_df.sparkSession, state_dir)
+        inc = incremental_attach(
+            batch_df.select("mention_uid", "norm"), base
+        )
+        inc["assignments"].select(
+            "mention_uid", "norm", "cluster_id"
+        ).withColumn("batch", F.lit(b).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, "base", f"batch={b}"))
+        inc["reassigned"].select(
+            "mention_uid", "norm", "cluster_id"
+        ).withColumn("batch", F.lit(b).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, "reassigned", f"batch={b}"))
+        inc["merge_queue"].write.mode("overwrite").parquet(
+            os.path.join(state_dir, "merge_queue", f"batch={b}")
+        )
+
+    names = (
+        spark.readStream.schema("mention_uid long, norm string")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(names_dir)
+    )
+    q = (
+        names.writeStream.foreachBatch(attach_batch)
+        .option(
+            "checkpointLocation", os.path.join(state_dir, "_attach_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def incremental_attach(
     new_names: DataFrame,
     base_clusters: DataFrame,

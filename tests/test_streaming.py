@@ -166,3 +166,100 @@ def test_curation_filters_stream_equals_batch(spark, tmp_path):
         a = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
         b = sorted(map(tuple, op(docs).collect()))
         assert a == b and len(a) == 3, name
+
+
+def test_streaming_attach_foreachbatch(spark, small_corpus, tmp_path):
+    """Real Structured-Streaming drive of the cluster-maintenance path:
+    a file stream of name drops (one file per micro-batch) runs
+    incremental_attach via foreachBatch against persisted parquet state,
+    and the final maintained clustering (with the deferred merge_queue
+    applied) recovers the full-batch fixpoint — the streaming twin of
+    tests/test_incremental_attach.py's multi-drop chain."""
+    from pyspark.sql import functions as F
+
+    from character_identification_spark.functions.hashing import h_long
+    from character_identification_spark.ingest.extract import extracted_pages
+    from character_identification_spark.ingest.mentions import extract_mentions
+    from character_identification_spark.operators.blocking import assign_blocks
+    from character_identification_spark.operators.cc import connected_components
+    from character_identification_spark.operators.context import (
+        name_cluster_table,
+        split_name_edges,
+    )
+    from character_identification_spark.operators.pairs import generate_pairs
+    from character_identification_spark.operators.scoring import score_pairs
+    from character_identification_spark.streaming.incremental import (
+        current_base,
+        run_streaming_attach,
+    )
+
+    def cluster_names(names):
+        blocks = assign_blocks(names)
+        pairs = generate_pairs(names, blocks, payload_cols=("norm",))
+        scored = score_pairs(pairs, dedup_strings=False)
+        safe, amb = split_name_edges(scored)
+        return name_cluster_table(names, connected_components(safe), amb)
+
+    pages, _ = small_corpus
+    names = (
+        extract_mentions(extracted_pages(pages, "en"))
+        .select("norm").distinct()
+        .withColumn("mention_uid", h_long(F.col("norm")))
+        .select("mention_uid", "norm")
+        .cache()
+    )
+    part = F.crc32("norm") % 4
+    seed = cluster_names(names.filter(part == 0))
+    names_dir, state_dir = str(tmp_path / "drops"), str(tmp_path / "state")
+    import os
+    import time
+
+    os.makedirs(names_dir)
+    for k in (1, 2, 3):  # one file per drop → one micro-batch per drop
+        names.filter(part == k).coalesce(1).write.mode("append").parquet(names_dir)
+        time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    run_streaming_attach(
+        spark, names_dir, state_dir,
+        seed.select("mention_uid", "norm", "cluster_id"),
+    )
+
+    final = {
+        r["mention_uid"]: r["cluster_id"]
+        for r in current_base(spark, state_dir).collect()
+    }
+    assert set(final) == {r["mention_uid"] for r in names.collect()}
+    # apply the accumulated deferred merges (the cadence step)
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    mq = spark.read.parquet(str(tmp_path / "state" / "merge_queue"))
+    for r in mq.collect():
+        a, b = find(r["cluster_a"]), find(r["cluster_b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+
+    def pairs_of(items):
+        by_c: dict = {}
+        for uid, cid in items:
+            by_c.setdefault(cid, []).append(uid)
+        out = set()
+        for ms in by_c.values():
+            ms = sorted(ms)
+            out.update((ms[i], ms[j]) for i in range(len(ms)) for j in range(i + 1, len(ms)))
+        return out
+
+    got = pairs_of([(uid, find(cid)) for uid, cid in final.items()])
+    want = pairs_of(
+        (r["mention_uid"], r["cluster_id"])
+        for r in cluster_names(names).select("mention_uid", "cluster_id").collect()
+    )
+    assert len(got & want) / max(len(want), 1) >= 0.95, (len(got & want), len(want))
+    assert len(got - want) <= max(2, len(want) // 50), sorted(got - want)[:5]
+    names.unpersist()
