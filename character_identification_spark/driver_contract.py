@@ -590,6 +590,36 @@ def q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: per user, did the event sequence contain
+    view → click → purchase IN ORDER (with anything between)?
+    Sequence test = regexp over the time-ordered event-type string
+    (sort_array over (ts, event_id, type) structs keeps the order
+    deterministic under ties) — one groupBy(user) shuffle, then a tiny
+    global rollup; the standard sessionless funnel at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    step1 = F.col("path").rlike("view")
+    step2 = F.col("path").rlike("view.*click")
+    step3 = F.col("path").rlike("view.*click.*purchase")
+    return seq.agg(
+        F.count("*").alias("n_users"),
+        F.sum(step1.cast("long")).alias("n_view"),
+        F.sum(step2.cast("long")).alias("n_view_click"),
+        F.sum(step3.cast("long")).alias("n_view_click_purchase"),
+    )
+
+
 def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles of event value per type
     (Spark `percentile`, NOT the sketch-based percentile_approx — the
@@ -1115,6 +1145,7 @@ QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_hopping": q_events_hopping,
     "events_quantiles": q_events_quantiles,
+    "events_funnel": q_events_funnel,
     "sample_stratified": q_sample_stratified,
     "mix_corpora": q_mix_corpora,
     "events_sessions": q_events_sessions,

@@ -1165,6 +1165,19 @@ SELECT t.source, t.n_total, COALESCE(k.n_kept, 0) AS n_kept,
 FROM tot t LEFT JOIN k USING (source)
 """
 
+SQL_EVENTS_FUNNEL = r"""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id, event_type) AS path
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN regexp_matches(path, 'view') THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN regexp_matches(path, 'view.*click') THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(sum(CASE WHEN regexp_matches(path, 'view.*click.*purchase') THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+FROM seq
+"""
+
 SQL_EVENTS_QUANTILES = r"""
 SELECT event_type,
        round(quantile_cont(value, 0.5), 6) AS p50,
@@ -1457,6 +1470,7 @@ ORACLES = {
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_hopping": SQL_EVENTS_HOPPING,
     "events_quantiles": SQL_EVENTS_QUANTILES,
+    "events_funnel": SQL_EVENTS_FUNNEL,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "mix_corpora": SQL_MIX_CORPORA,
     "events_sessions": SQL_EVENTS_SESSIONS,
