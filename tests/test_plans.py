@@ -169,6 +169,24 @@ def test_cosine_topk_is_two_phase(spark):
     assert plan.index("Exchange hashpartitioning") < plan.index("MapInPandas"), plan
 
 
+@needs_data
+def test_hopping_window_single_shuffle_with_partial_agg(spark):
+    """The sliding-window fan-out (each event → 2 overlapping windows)
+    must stay map-side: an Expand node inside codegen feeding a partial
+    HashAggregate, then exactly ONE Exchange — the 2× row inflation
+    never crosses the wire un-combined."""
+    from character_identification_spark.driver_contract import QUERIES
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(QUERIES["events_hopping"](spark, SF), mode="simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("Exchange") == 1, plan
+    assert "Expand" in plan and "partial_" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """Bucketing both join sides on the key removes the join Exchange —
     the co-located-join strategy SCALE.md prescribes for repeated big-big
