@@ -161,6 +161,37 @@ def run_incremental_ingest(
     return writer.start()
 
 
+def apply_merges(base_clusters: DataFrame, merge_queue: DataFrame) -> DataFrame:
+    """The cadence step's merge-apply WITHOUT a full re-cluster: the
+    deferred merge evidence is a tiny graph over CLUSTER IDS (one node
+    per implicated cluster — thousands, not the 10⁹-mention base), so
+    run connected components over just that graph and broadcast-join the
+    relabel map onto the base. Equivalent to what the full-fixpoint
+    cadence batch would conclude from the same evidence (asserted
+    against the union-find replay in tests), at the cost of one
+    broadcast join over the base instead of a global re-block.
+
+    base_clusters(mention_uid, norm, cluster_id) +
+    merge_queue(cluster_a, cluster_b, ...) → base with fused cluster ids
+    (each merge group keyed by its minimum member id)."""
+    from character_identification_spark.operators.cc import connected_components
+
+    edges = merge_queue.select(
+        F.col("cluster_a").alias("u"), F.col("cluster_b").alias("v")
+    ).distinct()
+    relabel = connected_components(edges).select(
+        F.col("node").alias("cluster_id"), F.col("component").alias("_fused")
+    )
+    return (
+        base_clusters.join(F.broadcast(relabel), "cluster_id", "left")
+        .select(
+            "mention_uid",
+            "norm",
+            F.coalesce("_fused", "cluster_id").alias("cluster_id"),
+        )
+    )
+
+
 def current_base(spark: SparkSession, state_dir: str) -> DataFrame:
     """Read the streaming-attach state: the seed base plus every batch's
     accepted assignments, with reassignment overrides applied (later

@@ -262,4 +262,13 @@ def test_streaming_attach_foreachbatch(spark, small_corpus, tmp_path):
     )
     assert len(got & want) / max(len(want), 1) >= 0.95, (len(got & want), len(want))
     assert len(got - want) <= max(2, len(want) // 50), sorted(got - want)[:5]
+    # the engine-side merge-apply (tiny cluster-graph CC + broadcast
+    # relabel) must conclude exactly what the union-find replay does
+    from character_identification_spark.streaming.incremental import apply_merges
+
+    fused = apply_merges(current_base(spark, state_dir), mq)
+    got2 = pairs_of(
+        (r["mention_uid"], r["cluster_id"]) for r in fused.collect()
+    )
+    assert got2 == got
     names.unpersist()
