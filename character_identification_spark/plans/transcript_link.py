@@ -193,7 +193,7 @@ P2_MODES = ("prev", "vocative", "learned")
 _MENTION_ORDER = ("utt_idx", "sent_idx", "begin", "mention_uid")
 
 
-def with_antecedent_candidates(m: DataFrame) -> DataFrame:
+def with_antecedent_candidates(m: DataFrame, event_scope: str = "scene") -> DataFrame:
     """Enriched mention table → + (midx, prior_events, cands).
 
     prior_events = recency-reversed preceding NAMING EVENTS of the scene:
@@ -207,10 +207,30 @@ def with_antecedent_candidates(m: DataFrame) -> DataFrame:
     third-person golds). cands = the scored candidate array of
     plans/coref_scorer.py. Shared by the learned linker modes and
     tools/train_coref_scorer.py so the trainer sees byte-identical
-    features."""
+    features.
+
+    ``event_scope="episode"`` widens the EVENT windows to the whole
+    episode (scene ids sort chronologically within an episode:
+    sNN_eNN_cNN) — clustering stays scene-scoped, but antecedent
+    evidence carries across scene boundaries, attacking the measured
+    47% within-scene candidate-coverage ceiling for third-person golds.
+    Utterance distances then use an episode-wide dense utterance rank
+    (utt_idx resets per scene).
+    """
     from character_identification_spark.plans.coref_scorer import candidate_array
 
-    order = Window.partitionBy("scene_id").orderBy(*_MENTION_ORDER)
+    if event_scope not in ("scene", "episode"):
+        raise ValueError(f"event_scope {event_scope!r}")
+    if event_scope == "episode":
+        m = m.withColumn(
+            "_epi", F.regexp_replace(F.col("scene_id"), r"_c\d+$", "")
+        )
+        order = Window.partitionBy("_epi").orderBy("scene_id", *_MENTION_ORDER)
+        gutt_w = Window.partitionBy("_epi").orderBy("scene_id", "utt_idx")
+        m = m.withColumn("_gutt", F.dense_rank().over(gutt_w))
+    else:
+        order = Window.partitionBy("scene_id").orderBy(*_MENTION_ORDER)
+        m = m.withColumn("_gutt", F.col("utt_idx"))
     m = m.withColumn("midx", F.row_number().over(order))
     if "mg" not in m.columns:
         m = m.withColumn("mg", _mention_gender())
@@ -218,7 +238,7 @@ def with_antecedent_candidates(m: DataFrame) -> DataFrame:
         (F.col("kind") == "name") & F.col("cast_ref").isNotNull(),
         F.struct(
             F.col("cast_ref").alias("ref"),
-            F.col("utt_idx").alias("utt_idx"),
+            F.col("_gutt").alias("utt_idx"),
             F.col("midx").alias("midx"),
             F.col("spk").alias("spk"),
             F.lit(0).alias("src"),
@@ -227,7 +247,7 @@ def with_antecedent_candidates(m: DataFrame) -> DataFrame:
         (F.col("kind") == "p1") & F.col("spk").isNotNull(),
         F.struct(
             F.col("spk").alias("ref"),
-            F.col("utt_idx").alias("utt_idx"),
+            F.col("_gutt").alias("utt_idx"),
             F.col("midx").alias("midx"),
             F.col("spk").alias("spk"),
             F.lit(1).alias("src"),
@@ -238,7 +258,7 @@ def with_antecedent_candidates(m: DataFrame) -> DataFrame:
         & (F.col("norm") != ""),
         F.struct(
             F.col("norm").alias("ref"),
-            F.col("utt_idx").alias("utt_idx"),
+            F.col("_gutt").alias("utt_idx"),
             F.col("midx").alias("midx"),
             F.col("spk").alias("spk"),
             F.lit(2).alias("src"),
@@ -261,7 +281,7 @@ def with_antecedent_candidates(m: DataFrame) -> DataFrame:
             order.rowsBetween(1, Window.unboundedFollowing)
         ),
     )
-    return m.withColumn("cands", candidate_array())
+    return m.withColumn("cands", candidate_array(utt_idx_col="_gutt"))
 
 
 def enriched_mention_table(utterances: DataFrame, mentions: DataFrame) -> DataFrame:
@@ -318,6 +338,7 @@ def link_transcript_mentions(
     p2_mode: str = "learned",
     p2_tau: float | None = None,
     p3_tau: float | None = None,
+    event_scope: str = "scene",
 ) -> DataFrame:
     """mentions(mention_uid, utterance_id, utt_idx, sent_idx, begin,
     surface, block_key=scene_id) + utterances → assignments
@@ -351,7 +372,7 @@ def link_transcript_mentions(
         # committed value must be the sweep argmax (CLAUDE.md discipline)
         P2_TAU = P2_TAU if p2_tau is None else p2_tau
         P3_TAU = P3_TAU if p3_tau is None else p3_tau
-        m = with_antecedent_candidates(m)
+        m = with_antecedent_candidates(m, event_scope=event_scope)
 
     if p2_mode == "vocative":
         # vocative prior: a UNIQUE cast-name mention inside the same

@@ -64,14 +64,18 @@ def main() -> None:
     gp = gold_pairs_from_mentions(gold).cache()
     gp.count()
     for mode in modes:
-        # "p3mode[@tau]" or "p3mode[@tau]/p2mode[@tau]" (p2 default "prev")
+        # "p3mode[@tau][:ep]" or ".../p2mode[@tau]" (p2 default "prev";
+        # the :ep suffix widens antecedent-event windows to the episode)
         p3spec, _, p2spec = mode.partition("/")
+        scope = "episode" if p3spec.endswith(":ep") else "scene"
+        p3spec = p3spec.removesuffix(":ep")
         p3m, _, p3t = p3spec.partition("@")
         p2m, _, p2t = p2spec.partition("@")
         assign = link_transcript_mentions(
             utt, gold, p3_mode=p3m, p2_mode=p2m or "prev",
             p3_tau=float(p3t) if p3t else None,
             p2_tau=float(p2t) if p2t else None,
+            event_scope=scope,
         ).cache()
         ev = pairwise_f1(assign, gp)
         acc = rule_accuracy(assign, gold)

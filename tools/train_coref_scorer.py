@@ -54,7 +54,7 @@ PARAMS_PATH = os.path.join(
 )
 
 
-def feature_rows(utt, gold, kinds: tuple[str, ...]):
+def feature_rows(utt, gold, kinds: tuple[str, ...], scope: str = "scene"):
     """→ (groups, X, y): per-pronoun candidate groups with gold labels.
 
     Real candidates (cast labels / speakers) are positive when the label
@@ -62,7 +62,7 @@ def feature_rows(utt, gold, kinds: tuple[str, ...]):
     surfaces) are positive when some same-scene name mention with that
     surface has a gold label the pronoun shares — i.e. the gold PAIR
     truth the cluster key will be scored on, not label equality."""
-    m = with_antecedent_candidates(enriched_mention_table(utt, gold))
+    m = with_antecedent_candidates(enriched_mention_table(utt, gold), event_scope=scope)
     nm_lab = (
         m.filter(F.col("kind") == "name")
         .join(gold.select("mention_uid", "gold_refs"), "mention_uid")
@@ -189,9 +189,10 @@ def main() -> None:
         if flag in sys.argv:
             tau_override[cls.upper()] = float(sys.argv[sys.argv.index(flag) + 1])
 
+    scope = "episode" if "--scope-ep" in sys.argv else "scene"
     out = {}
     for name, kinds in (("P2", ("p2",)), ("P3", ("p3m", "p3f")), ("NOM", ("nom",))):
-        groups, X, y = feature_rows(utt, gold, kinds)
+        groups, X, y = feature_rows(utt, gold, kinds, scope)
         w = train_logistic(X, y, epochs)
         acc_tau, acc, top1 = pick_tau(groups, w)
         tau = tau_override.get(name, acc_tau)
@@ -213,6 +214,7 @@ def main() -> None:
         "    python tools/train_coref_scorer.py "
         + " ".join(
             [split, "--write", "--epochs", str(epochs)]
+            + (["--scope-ep"] if scope == "episode" else [])
             + [f"--tau-{k.lower()} {v}" for k, v in sorted(tau_override.items())]
         )
         + "\n\n"
