@@ -563,6 +563,39 @@ def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite curation DECISION — the Gopher/C4-style keep/drop
+    gate that ties the stats operators together: blended quality score
+    (text_stats) ∧ repetition caps (repetition_stats) ∧ English
+    language-ID ∧ a length band. Three single-scan feature blocks joined
+    on doc_id; at 100 TB each block is scan-bandwidth and the join keys
+    are unique → AQE turns it into cheap co-partitioned joins. The
+    thresholds here are the demo policy; the point is the composed
+    dataflow with a value-level oracle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    s = text_stats(docs)
+    r = repetition_stats(docs)
+    lang = language_id(docs)
+    keep = (
+        (F.col("quality") >= 0.5)
+        & (F.col("dup5_frac") <= 0.3)
+        & (F.col("top2_char_frac") <= 0.2)
+        & (F.col("lang_pred") == "en")
+        & F.col("n_tokens").between(10, 100000)
+    )
+    return (
+        s.join(r, "doc_id")
+        .join(lang, "doc_id")
+        .select(
+            "doc_id",
+            "quality",
+            "dup5_frac",
+            "lang_pred",
+            keep.alias("keep"),
+        )
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language stratified sampling (curation.
     stratified_sample) — the training-data rebalancing primitive. The
@@ -1146,6 +1179,7 @@ QUERIES = {
     "events_hopping": q_events_hopping,
     "events_quantiles": q_events_quantiles,
     "events_funnel": q_events_funnel,
+    "quality_gate": q_quality_gate,
     "sample_stratified": q_sample_stratified,
     "mix_corpora": q_mix_corpora,
     "events_sessions": q_events_sessions,

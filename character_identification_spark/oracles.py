@@ -1138,6 +1138,16 @@ SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end, event_type,
 FROM w GROUP BY 1, 2, 3
 """
 
+
+SQL_QUALITY_GATE = (
+    "SELECT s.doc_id, s.quality, r.dup5_frac, l.lang_pred,\n"
+    "       (s.quality >= 0.5 AND r.dup5_frac <= 0.3 AND r.top2_char_frac <= 0.2\n"
+    "        AND l.lang_pred = 'en' AND s.n_tokens BETWEEN 10 AND 100000) AS keep\n"
+    "FROM (" + SQL_TEXT_STATS + ") s\n"
+    "JOIN (" + SQL_TEXT_REPETITION + ") r ON s.doc_id = r.doc_id\n"
+    "JOIN (" + SQL_TEXT_LANGUAGE_ID + ") l ON s.doc_id = l.doc_id\n"
+)
+
 _DD_U60 = (
     "CAST(CAST('0x' || substr(md5('{salt}|' || CAST({key} AS VARCHAR)), 1, 15) "
     "AS UBIGINT) AS BIGINT) / 1152921504606846976.0"
@@ -1471,6 +1481,7 @@ ORACLES = {
     "events_hopping": SQL_EVENTS_HOPPING,
     "events_quantiles": SQL_EVENTS_QUANTILES,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "quality_gate": SQL_QUALITY_GATE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "mix_corpora": SQL_MIX_CORPORA,
     "events_sessions": SQL_EVENTS_SESSIONS,
