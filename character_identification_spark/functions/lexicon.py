@@ -100,7 +100,12 @@ def nominal_head(norm_col: Column | str = "norm") -> Column:
     c = F.col(norm_col) if isinstance(norm_col, str) else norm_col
     toks = F.split(c, " ")
     rest = F.filter(toks, lambda t: ~t.isin(*_NOM_PREFIX))
-    return F.when(F.size(rest) == 1, F.element_at(rest, 1))
+    # strip prefixes only while >1 token remains: 'dear' / 'my dear' are
+    # all-prefix surfaces whose LAST token is itself a head ('dear' is in
+    # NOM_NEUT) — without the fallback that lexicon entry is unreachable
+    return F.when(F.size(rest) == 1, F.element_at(rest, 1)).when(
+        (F.size(rest) == 0) & (F.size(toks) >= 1), F.element_at(toks, -1)
+    )
 
 
 def nominal_class(norm_col: Column | str = "norm") -> Column:

@@ -136,6 +136,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     n_centroids: int = 16,
     nprobe: int = 4,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVF-style approximate top-k: an inverted-file index over a coarse
     quantizer — the second scale path next to sign-LSH (ann_topk).
@@ -196,7 +197,12 @@ def ivf_topk(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col)),
         "query_id", nprobe,
     ).select("query_id", F.col(vec_col).alias("qv"), "cid")
-    cand = lists.join(F.broadcast(probes), "cid").filter(
+    # broadcast_probes=True is right for the point-lookup shape (few
+    # queries × nprobe rows); for corpus-sized query sets (all-pairs kNN)
+    # pass False and let AQE pick the strategy — a hard broadcast there
+    # would overflow the driver where a shuffle join scales.
+    probes_side = F.broadcast(probes) if broadcast_probes else probes
+    cand = lists.join(probes_side, "cid").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = cand.withColumn("cos_sim", cosine_sim("cv", "qv"))

@@ -1182,9 +1182,9 @@ WITH seq AS (
   FROM events GROUP BY user_id
 )
 SELECT CAST(count(*) AS BIGINT) AS n_users,
-       CAST(sum(CASE WHEN regexp_matches(path, 'view') THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-       CAST(sum(CASE WHEN regexp_matches(path, 'view.*click') THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
-       CAST(sum(CASE WHEN regexp_matches(path, 'view.*click.*purchase') THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+       CAST(sum(CASE WHEN regexp_matches(path, '(^|>)view(>|$)') THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN regexp_matches(path, '(^|>)view>(.*>)?click(>|$)') THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(sum(CASE WHEN regexp_matches(path, '(^|>)view>(.*>)?click>(.*>)?purchase(>|$)') THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
 FROM seq
 """
 
@@ -1404,22 +1404,23 @@ def _dd_table_bucket(t: int, n_planes: int = 6) -> str:
     return f"'t{t}:' || CAST({' + '.join(bits)} AS VARCHAR)"
 
 
-# exact twin of ann_topk(k=10, n_planes=6, n_tables=2): the hyperplanes are
-# md5-pure, so "approximate" ANN is still deterministically replayable
+# exact twin of ann_topk(k=10, n_planes=4, n_tables=2) — the measured-good
+# default (recall@10 ≈ 0.19, BENCH.md): the hyperplanes are md5-pure, so
+# "approximate" ANN is still deterministically replayable
 SQL_SIMILARITY_ANN = f"""
 WITH e AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings
 ),
 cb AS (
-  SELECT vec_id AS neighbor_id, {_dd_table_bucket(0)} AS bucket FROM e
+  SELECT vec_id AS neighbor_id, {_dd_table_bucket(0, 4)} AS bucket FROM e
   UNION ALL
-  SELECT vec_id AS neighbor_id, {_dd_table_bucket(1)} AS bucket FROM e
+  SELECT vec_id AS neighbor_id, {_dd_table_bucket(1, 4)} AS bucket FROM e
 ),
 qb AS (
-  SELECT vec_id AS query_id, {_dd_table_bucket(0)} AS bucket FROM e WHERE vec_id < 8
+  SELECT vec_id AS query_id, {_dd_table_bucket(0, 4)} AS bucket FROM e WHERE vec_id < 8
   UNION ALL
-  SELECT vec_id AS query_id, {_dd_table_bucket(1)} AS bucket FROM e WHERE vec_id < 8
+  SELECT vec_id AS query_id, {_dd_table_bucket(1, 4)} AS bucket FROM e WHERE vec_id < 8
 ),
 cand AS (
   SELECT DISTINCT query_id, neighbor_id

@@ -2,9 +2,14 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+needs_data = pytest.mark.skipif(not os.path.exists(SF), reason="testdata absent")
 
 from character_identification_spark.operators.similarity import (
     ann_topk,
@@ -114,15 +119,17 @@ def test_ivf_topk_recall_and_shape(spark):
     assert hits / len(exact) >= 0.3  # probing 3/8 lists on label-clustered vectors
 
 
+@needs_data
 def test_ann_recall_gates(spark):
-    """Measured recall@10 gates (BENCH.md round-3 table — every number is
+    """Measured recall@10 gates (BENCH.md table — every number is
     md5-deterministic, so the bounds are measured − a small margin, and
-    the IVF nprobe knob must be monotone). The contract configs
-    (ann 2×6, ivf 16/4) are the determinism proof; the quality-sensitive
-    operating points are the ones gated here."""
+    the IVF nprobe knob must be monotone). Round 4 flips the similarity_ann
+    CONTRACT default to the measured-good 2-table × 4-plane point; the old
+    2×6 config stays here as the retained determinism fixture (weak recall,
+    gated at its own measured bound)."""
     from character_identification_spark.operators.similarity import ivf_topk
 
-    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+    e = spark.read.parquet(SF + "/embeddings.parquet").select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     ).cache()
@@ -136,9 +143,12 @@ def test_ann_recall_gates(spark):
         got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
         return len(exact & got) / len(exact)
 
-    # sign-LSH: more tables / fewer planes raise recall (measured 0.188)
+    # sign-LSH: more tables / fewer planes raise recall (measured 0.188).
+    # 2×4 is the round-4 CONTRACT default (q_similarity_ann) — its gate is
+    # the binding one; 2×6 is the retained round-3 determinism fixture.
     assert recall(ann_topk(e, q, k=10, n_planes=4, n_tables=2)) >= 0.17
     assert recall(ann_topk(e, q, k=10, n_planes=6, n_tables=4)) >= 0.17
+    assert recall(ann_topk(e, q, k=10, n_planes=6, n_tables=2)) >= 0.06
     # IVF: measured 0.338 / 0.500 / 0.650 across nprobe 2/4/8 — gate the
     # levels and the monotonicity of the quality knob
     r2 = recall(ivf_topk(e, q, k=10, n_centroids=16, nprobe=2))
