@@ -344,9 +344,12 @@ FROM edecided
 
 SQL_ER_CLUSTERS = _ER_FULL_PREFIX + "\nSELECT mention_uid, cluster_id FROM assigned"
 
-SQL_ER_ENTITIES = (
-    _ER_FULL_PREFIX
-    + r""",
+# the post-CC aggregation, shared with tools/check_er_scale.py's
+# bounded-round sf0.1 replay (which materializes m/assigned as TABLES
+# instead of the recursive CTE — the recursive closure's full
+# reachability set is quadratic in component size and exceeds practical
+# runtime at 4.7M edges)
+ER_ENTITIES_AGG = r"""
 clustered AS (
   SELECT a.cluster_id, m.norm, CAST(m.p_partkey AS VARCHAR) AS url
   FROM assigned a JOIN m USING (mention_uid)
@@ -370,7 +373,8 @@ stats AS (
 SELECT s.cluster_id, s.n_mentions, s.n_aliases, s.aliases, s.n_pages, c.canonical
 FROM stats s JOIN canon c USING (cluster_id)
 """
-)
+
+SQL_ER_ENTITIES = _ER_FULL_PREFIX + "," + ER_ENTITIES_AGG
 
 # --------------------------------------------------------------------------
 # Dedup fragments over augmented documents

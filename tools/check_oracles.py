@@ -5,7 +5,15 @@ DuckDB at the given scale factor, then compares row count, column names,
 and an order-insensitive value multiset (floats canonicalized via
 repr-rounding). Usage:
 
-    python tools/check_oracles.py [sf_dir] [query ...]
+    python tools/check_oracles.py [sf_dir] [query ...] [--json PATH]
+
+--json writes a driver-artifact-shaped report (query → rows_match/
+schema_match/hash_match/...) covering the FULL query surface. The
+driver's own per-round sweep is capped at the first 50 ``queries()``
+entries (observed: CORRECTNESS_r03.json holds exactly queries()[0:50]),
+so the committed full-surface run (CORRECTNESS_FULL.json at the repo
+root, regenerated every round) is the artifact that makes "every
+operator has a green row" literally checkable.
 """
 
 from __future__ import annotations
@@ -45,8 +53,14 @@ def main():
 
     from __spark_entry__ import oracle_sql, queries
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -63,6 +77,7 @@ def main():
 
     qs, os_ = queries(), oracle_sql()
     failures = []
+    report: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -74,12 +89,16 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": f"spark: {e}"}
             continue
         t1 = time.monotonic()
         if name not in os_:
             print(f"ok?  {name}: rows-only, {len(srows)} rows ({t1-t0:.1f}s)")
             if len(srows) == 0:
                 print(f"WARN {name}: zero rows")
+            report[name] = {"rows_only": True, "spark_rows": len(srows),
+                            "err": None}
             continue
         try:
             rel = con.sql(os_[name])
@@ -89,13 +108,18 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": f"duckdb: {e}"}
             continue
         t2 = time.monotonic()
         ok = True
-        if scols != dcols:
+        schema_ok = scols == dcols
+        rows_ok = len(srows) == len(ddf)
+        hash_ok = False
+        if not schema_ok:
             print(f"FAIL {name}: columns spark={scols} duck={dcols}")
             ok = False
-        if len(srows) != len(ddf):
+        if not rows_ok:
             print(f"FAIL {name}: rows spark={len(srows)} duck={len(ddf)}")
             ok = False
         if ok:
@@ -113,6 +137,8 @@ def main():
                 print(f"  spark-only({len(only_s)}): {sorted(only_s)[:2]}")
                 print(f"  duck-only({len(only_d)}): {sorted(only_d)[:2]}")
                 ok = False
+            else:
+                hash_ok = True
         if ok:
             print(
                 f"OK   {name}: {len(srows)} rows "
@@ -120,6 +146,22 @@ def main():
             )
         else:
             failures.append(name)
+        report[name] = {
+            "rows_match": rows_ok,
+            "schema_match": schema_ok,
+            "hash_match": hash_ok,
+            "spark_rows": len(srows),
+            "oracle_rows": len(ddf),
+            "spark_sec": round(t1 - t0, 2),
+            "oracle_sec": round(t2 - t1, 2),
+            "err": None,
+        }
+    if json_path:
+        import json as _json
+
+        with open(json_path, "w") as fh:
+            _json.dump(report, fh, indent=1)
+        print(f"wrote {json_path} ({len(report)} queries)")
     print()
     if failures:
         print(f"FAILURES ({len(failures)}): {failures}")

@@ -63,18 +63,32 @@ def main() -> None:
     gold = transcript_gold_mentions(utt).cache()
     gp = gold_pairs_from_mentions(gold).cache()
     gp.count()
+    multi = "--multi" in sys.argv
+    modes = [m for m in modes if m != "--multi"]
     for mode in modes:
-        # "p3mode[@tau][:ep]" or ".../p2mode[@tau]" (p2 default "prev";
-        # the :ep suffix widens antecedent-event windows to the episode)
-        p3spec, _, p2spec = mode.partition("/")
+        # "p3mode[@tau][:ep][/p2mode[@tau]][/nom@tau][/ppl@tau]" (p2
+        # default "prev"; the :ep suffix widens antecedent-event windows
+        # to the episode; nom@/ppl@ pin the nominal-head and M5
+        # plural-gate thresholds for their sweeps)
+        segs = mode.split("/")
+        p3spec, rest = segs[0], segs[1:]
         scope = "episode" if p3spec.endswith(":ep") else "scene"
         p3spec = p3spec.removesuffix(":ep")
         p3m, _, p3t = p3spec.partition("@")
-        p2m, _, p2t = p2spec.partition("@")
+        p2m = p2t = nom_t = ppl_t = ""
+        for s in rest:
+            if s.startswith("nom@"):
+                nom_t = s[4:]
+            elif s.startswith("ppl@"):
+                ppl_t = s[4:]
+            else:
+                p2m, _, p2t = s.partition("@")
         assign = link_transcript_mentions(
             utt, gold, p3_mode=p3m, p2_mode=p2m or "prev",
             p3_tau=float(p3t) if p3t else None,
             p2_tau=float(p2t) if p2t else None,
+            nom_tau=float(nom_t) if nom_t else None,
+            ppl_tau=float(ppl_t) if ppl_t else None,
             event_scope=scope,
         ).cache()
         ev = pairwise_f1(assign, gp)
@@ -82,9 +96,20 @@ def main() -> None:
         accs = " ".join(
             f"{k}={acc[k][0]}/{acc[k][1]}" for k in sorted(acc)
         )
+        extra = ""
+        if multi:
+            from character_identification_spark.evaluation.pairf1 import (
+                pairwise_f1_multi,
+            )
+            from character_identification_spark.plans.transcript_link import (
+                membership_rows,
+            )
+
+            mv = pairwise_f1_multi(membership_rows(assign), gp)
+            extra = f"  multiF1={mv['f1']:.4f}"
         print(
             f"{split} {mode:24s} P={ev['precision']:.4f} R={ev['recall']:.4f} "
-            f"F1={ev['f1']:.4f}  {accs}"
+            f"F1={ev['f1']:.4f}{extra}  {accs}"
         )
         assign.unpersist()
     spark.stop()
