@@ -59,6 +59,19 @@ FEATURES = (
     "is_scene_spk",   # candidate spoke earlier in the scene
     "fut_named",      # candidate is named LATER in the scene (cataphora)
     "log_fut_mdist",  # log1p(mention Δ to its next naming)
+    # round 4 — lexical context (the reference CNN's window-embedding
+    # input, coref.py:40-70 over features.py:113-127, as deterministic
+    # hash-shingle vectors + cosines; stays linear/convex/RNG-free):
+    "ctx_cos",        # cos(pronoun ±4-token window, candidate's LAST
+                      # naming window)
+    "ctx_best",       # max cos over ALL the candidate's naming windows
+    # round 4 — cross-scene episode prior (VERDICT r3 #6; candidates stay
+    # scene-derived, only the SCORE sees earlier-scene activity):
+    "epi_freq",       # share of earlier-scene real namings in the episode
+    "epi_named",      # candidate was named/speaking in an earlier scene
+    "win_has_name",   # a token of the candidate's label occurs INSIDE the
+                      # pronoun's ±4-token window ("Ross, he…") — the
+                      # token-granular recency signal log_mdist can't see
 )
 
 
@@ -77,6 +90,8 @@ def candidate_array(
     utt_idx_col: str = "utt_idx",
     midx_col: str = "midx",
     next_events_col: str = "next_events",
+    mctx_col: str = "ctx_emb",
+    epi_refs_col: str = "epi_prior_refs",
 ) -> Column:
     """array<struct(ref string, pseudo double, fs array<double>)> of
     scored candidates.
@@ -90,12 +105,18 @@ def candidate_array(
     participant) — the decode can cluster on them without emitting a
     character prediction. One fixed-order feature vector per candidate,
     every term a Catalyst expression (see module docstring)."""
+    from character_identification_spark.functions.vectors import cosine_sim
+
     ev = F.col(events_col)
     fut = F.col(next_events_col)
     mg = F.col(mg_col)
     spk, prev, nxt = F.col(spk_col), F.col(prev_col), F.col(next_col)
     scene_spks = F.coalesce(F.col(scene_spks_col), F.array().cast("array<string>"))
     cur_u, cur_m = F.col(utt_idx_col), F.col(midx_col)
+    mctx = F.col(mctx_col)
+    epi = F.coalesce(F.col(epi_refs_col), F.array().cast("array<string>"))
+    epi_n = F.size(epi).cast("double")
+    wtoks = F.coalesce(F.col("ctx_toks"), F.array().cast("array<string>"))
 
     refs = F.transform(ev, lambda x: x["ref"])
     distinct_refs = F.array_distinct(refs)  # recency order (ev is reversed)
@@ -131,6 +152,14 @@ def candidate_array(
         nxt_ev = F.try_element_at(
             F.filter(fut, lambda y: (y["ref"] == r) & (y["src"] < 2)), F.lit(1)
         )
+        # lexical-context cosines: NULL-safe throughout (cosine_sim is
+        # NULL on zero-norm/NULL vectors; array_max of the all-NULL-
+        # filtered list is NULL; _b maps NULL→0)
+        ctx_all = F.filter(
+            F.transform(mine, lambda y: cosine_sim(mctx, y["ctx"])),
+            lambda c: c.isNotNull(),
+        )
+        epi_cnt = F.size(F.filter(epi, lambda x: x == r)).cast("double")
         return F.array(
             F.lit(1.0),                                         # bias
             _b(g == mg),                                        # g_match
@@ -151,6 +180,11 @@ def candidate_array(
             _b(F.array_contains(scene_spks, r)),                # is_scene_spk
             _b(nxt_ev.isNotNull()),                             # fut_named
             _b(F.log1p(nxt_ev["midx"] - cur_m)),                # log_fut_mdist
+            _b(cosine_sim(mctx, last["ctx"])),                  # ctx_cos
+            _b(F.array_max(ctx_all)),                           # ctx_best
+            F.when(epi_n > 0, epi_cnt / epi_n).otherwise(0.0),  # epi_freq
+            _b(epi_cnt > 0),                                    # epi_named
+            _b(F.arrays_overlap(wtoks, F.split(r, " "))),       # win_has_name
         )
 
     inner = F.transform(
@@ -174,6 +208,25 @@ def _dot(fs: Column, weights: list[float]) -> Column:
     return F.aggregate(
         F.zip_with(fs, w, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
     )
+
+
+def learned_members(cands_col: str, weights: list[float], tau: float) -> Column:
+    """M5 multi-label membership gate for PLURAL mentions: the refs of
+    ALL real (non-pseudo) candidates whose sigmoid clears τ — the
+    reference's per-label sigmoid multi-label head
+    (latest/model/linking_joint.py:44-46,71-91, threshold-0.5 decode) as
+    a deterministic logistic over the same candidate features the
+    antecedent rankers use. Unlike learned_best there is no argmax: a
+    plural mention refers to a label SET."""
+    passing = F.filter(
+        F.col(cands_col),
+        lambda c: (c["pseudo"] == 0.0)
+        & (
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot(c["fs"], weights))))
+            >= F.lit(float(tau))
+        ),
+    )
+    return F.transform(passing, lambda c: c["ref"])
 
 
 def learned_best(cands_col: str, weights: list[float], tau: float) -> Column:

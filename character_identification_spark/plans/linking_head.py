@@ -29,8 +29,10 @@ from pyspark.sql import functions as F
 
 from character_identification_spark.functions.vectors import hash_embedding
 
-#: mention-kind slots for the kind-fraction block (fixed order)
-KINDS = ("p1", "p2", "p3m", "p3f", "ppl", "name")
+#: mention-kind slots for the kind-fraction block (fixed order; 'nom'
+#: added in round 4 — without it nominal members were invisible to every
+#: kind fraction and the fractions no longer summed to 1)
+KINDS = ("p1", "p2", "p3m", "p3f", "ppl", "nom", "name")
 
 EMB_DIM = 16  # hash-shingle embedding dimension (×2 for mean+max pooling)
 
@@ -107,10 +109,10 @@ def hybrid_link(
     left unresolved (pools, pseudo-name clusters, singletons).
 
     Measured linking macro F1 on the coarsened task (main six +
-    '#other#'): rules 0.8071 dev / 0.7951 tst; head alone 0.6113/0.4802
-    (surface shingles generalize poorly on their own); HYBRID
-    0.8487 dev / 0.8279 tst — the head is a gap-filler, exactly the
-    role the reference gives its linking model after coref
+    '#other#'; see BASELINE.md for the committed round-4 re-measure):
+    the head alone is weak (surface shingles generalize poorly), but as
+    a gap-filler the HYBRID beats rules-only by ~+4 tst points — exactly
+    the role the reference gives its linking model after coref
     (system.py:213-226).
 
     assign = link_transcript_mentions output (mention_uid, cluster_id,

@@ -45,11 +45,20 @@ own trained head, never through cast-surface matching). Measured on the
 reference corpus (tests/test_transcript.py): pairwise F1 0.7604 dev /
 0.7203 tst at scene blocking keys (rules-only round 2: 0.7430/0.7028) —
 see BASELINE.md for the honest gap to the 0.99 aspiration.
+
+Round 4 adds the M5 LEARNED plural membership gate (coref_scorer.
+learned_members — reference linking_joint.py:71-91): plural pronouns'
+auto_refs = {speaker, prev speaker} ∪ every real candidate whose
+per-label sigmoid clears τ_ppl (0.925, dev argmax; multi-membership
+pairwise F1 0.8083 → 0.8202 dev, split-half-CV-positive), plus the
+lexical-context plumbing (ctx_emb/ctx_toks per mention, ctx per naming
+event, epi_prior_refs) whose features the PPL head uses — the singular
+heads keep them masked (the BASELINE.md round-4 ablation table).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from character_identification_spark.functions.lexicon import (
@@ -221,11 +230,13 @@ def with_antecedent_candidates(m: DataFrame, event_scope: str = "scene") -> Data
 
     if event_scope not in ("scene", "episode"):
         raise ValueError(f"event_scope {event_scope!r}")
+    # episode key always exists: the cross-scene PRIOR features (epi_freq /
+    # epi_named) read earlier-scene namings even in scene scope — scene ids
+    # sort chronologically within an episode (sNN_eNN_cNN)
+    m = m.withColumn("_epi", F.regexp_replace(F.col("scene_id"), r"_c\d+$", ""))
+    epi_order = Window.partitionBy("_epi").orderBy("scene_id", *_MENTION_ORDER)
     if event_scope == "episode":
-        m = m.withColumn(
-            "_epi", F.regexp_replace(F.col("scene_id"), r"_c\d+$", "")
-        )
-        order = Window.partitionBy("_epi").orderBy("scene_id", *_MENTION_ORDER)
+        order = epi_order
         gutt_w = Window.partitionBy("_epi").orderBy("scene_id", "utt_idx")
         m = m.withColumn("_gutt", F.dense_rank().over(gutt_w))
     else:
@@ -234,35 +245,31 @@ def with_antecedent_candidates(m: DataFrame, event_scope: str = "scene") -> Data
     m = m.withColumn("midx", F.row_number().over(order))
     if "mg" not in m.columns:
         m = m.withColumn("mg", _mention_gender())
+    # each naming event carries its own ±4-token context embedding (ctx)
+    # so the scorer can compare the pronoun's lexical context to the
+    # context the candidate was last named in — the reference CNN's
+    # window-embedding input as two deterministic vectors + a cosine
+    def _ev(ref: Column, src: int) -> Column:
+        return F.struct(
+            ref.alias("ref"),
+            F.col("_gutt").alias("utt_idx"),
+            F.col("midx").alias("midx"),
+            F.col("spk").alias("spk"),
+            F.lit(src).alias("src"),
+            F.col("ctx_emb").alias("ctx"),
+        )
+
     event = F.when(
         (F.col("kind") == "name") & F.col("cast_ref").isNotNull(),
-        F.struct(
-            F.col("cast_ref").alias("ref"),
-            F.col("_gutt").alias("utt_idx"),
-            F.col("midx").alias("midx"),
-            F.col("spk").alias("spk"),
-            F.lit(0).alias("src"),
-        ),
+        _ev(F.col("cast_ref"), 0),
     ).when(
         (F.col("kind") == "p1") & F.col("spk").isNotNull(),
-        F.struct(
-            F.col("spk").alias("ref"),
-            F.col("_gutt").alias("utt_idx"),
-            F.col("midx").alias("midx"),
-            F.col("spk").alias("spk"),
-            F.lit(1).alias("src"),
-        ),
+        _ev(F.col("spk"), 1),
     ).when(
         (F.col("kind") == "name")
         & F.col("cast_ref").isNull()
         & (F.col("norm") != ""),
-        F.struct(
-            F.col("norm").alias("ref"),
-            F.col("_gutt").alias("utt_idx"),
-            F.col("midx").alias("midx"),
-            F.col("spk").alias("spk"),
-            F.lit(2).alias("src"),
-        ),
+        _ev(F.col("norm"), 2),
     )
     m = m.withColumn(
         "prior_events",
@@ -281,22 +288,58 @@ def with_antecedent_candidates(m: DataFrame, event_scope: str = "scene") -> Data
             order.rowsBetween(1, Window.unboundedFollowing)
         ),
     )
+    # cross-scene PRIOR (VERDICT r3 #6): labels of REAL namings (src<2)
+    # from EARLIER SCENES of the episode — candidate labels stay
+    # scene-derived (episode-wide candidate widening was measured and
+    # rejected, BASELINE.md), but the scorer can now see that a candidate
+    # was active earlier in the episode. Ref strings only (no structs /
+    # vectors), so the episode-wide window stays light.
+    epi_event = F.when(
+        event.isNotNull() & (event["src"] < 2),
+        F.struct(F.col("scene_id").alias("sc"), event["ref"].alias("ref")),
+    )
+    m = m.withColumn(
+        "epi_prior_refs",
+        F.transform(
+            F.filter(
+                F.collect_list(epi_event).over(
+                    epi_order.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                lambda x: x["sc"] != F.col("scene_id"),
+            ),
+            lambda x: x["ref"],
+        ),
+    )
     return m.withColumn("cands", candidate_array(utt_idx_col="_gutt"))
 
 
 def enriched_mention_table(utterances: DataFrame, mentions: DataFrame) -> DataFrame:
-    """mentions + speaker context + pronoun kind + cast match — the
-    common front half of the rule linker, the learned scorer, and
-    tools/train_coref_scorer.py (the trainer must see byte-identical
-    inputs to the inference path)."""
+    """mentions + speaker context + pronoun kind + cast match + lexical
+    context embedding — the common front half of the rule linker, the
+    learned scorer, and tools/train_coref_scorer.py (the trainer must see
+    byte-identical inputs to the inference path).
+
+    ctx_emb is the 16-dim hash-shingle embedding (functions/vectors.py)
+    of the mention's ±4-token window, span excluded — the engine's
+    deterministic analog of the reference CNN's word-embedding context
+    input (latest/model/coref.py:40-70 consuming the token windows of
+    component/features.py:113-127). NULL when the window is empty, so
+    downstream cosines go NULL→0 instead of dividing a zero norm."""
+    from character_identification_spark.functions.vectors import hash_embedding
+    from character_identification_spark.operators.textwindow import (
+        token_window_features,
+    )
+
     ctx = speaker_context(utterances)
     cast = cast_table(utterances)
+    have_ctx = "end" in mentions.columns and "tokens" in utterances.columns
     m = (
         mentions.select(
             "mention_uid",
             "utterance_id",
             "sent_idx",
             "begin",
+            *(["end"] if have_ctx else []),
             F.col("block_key").alias("scene_id"),
             norm_text(F.col("surface")).alias("norm"),
         )
@@ -315,6 +358,45 @@ def enriched_mention_table(utterances: DataFrame, mentions: DataFrame) -> DataFr
             F.coalesce(pronoun_class("norm"), nominal_class("norm"), F.lit("name")),
         )
     )
+    # ±4-token window (W1, operators/textwindow.py) → one deterministic
+    # context embedding per mention; the (utterance_id, sent_idx) sentence
+    # join is the document-structure equi-join, skew bounded by
+    # mentions-per-sentence. Fixtures without token arrays / span ends
+    # (toy unit scenes) degrade to NULL ctx_emb — every downstream
+    # consumer is null-safe.
+    if have_ctx:
+        win = token_window_features(
+            m.select("mention_uid", "utterance_id", "sent_idx", "begin", "end"),
+            utterances,
+            k=4,
+        ).select(
+            "mention_uid",
+            F.concat("prev_tokens", "next_tokens").alias("_wtoks"),
+        )
+        m = (
+            m.join(win, "mention_uid", "left")
+            .withColumn(
+                "ctx_emb",
+                F.when(
+                    F.size("_wtoks") > 0,
+                    hash_embedding(norm_text(F.array_join("_wtoks", " "))),
+                ),
+            )
+            .withColumn(
+                # normalized window TOKENS — the win_has_name scorer
+                # feature tests candidate-name membership directly
+                "ctx_toks",
+                F.filter(
+                    F.transform(F.col("_wtoks"), lambda t: norm_text(t)),
+                    lambda t: t != "",
+                ),
+            )
+            .drop("_wtoks")
+        )
+    else:
+        m = m.withColumn(
+            "ctx_emb", F.lit(None).cast("array<double>")
+        ).withColumn("ctx_toks", F.lit(None).cast("array<string>"))
     named = match_names_to_cast(m.filter(F.col("kind") == "name"), cast)
     return m.join(named, "mention_uid", "left")
 
@@ -338,6 +420,9 @@ def link_transcript_mentions(
     p2_mode: str = "learned",
     p2_tau: float | None = None,
     p3_tau: float | None = None,
+    nom_tau: float | None = None,
+    ppl_tau: float | None = None,
+    p2m_tau: float | None = None,
     event_scope: str = "scene",
 ) -> DataFrame:
     """mentions(mention_uid, utterance_id, utt_idx, sent_idx, begin,
@@ -357,6 +442,7 @@ def link_transcript_mentions(
         raise ValueError(f"p2_mode {p2_mode!r} not in {P2_MODES}")
     learned_needed = p3_mode == "learned_pool" or p2_mode == "learned"
     if learned_needed:
+        from character_identification_spark.models import coref_params as _cp
         from character_identification_spark.models.coref_params import (
             NOM_TAU,
             NOM_WEIGHTS,
@@ -365,13 +451,21 @@ def link_transcript_mentions(
             P3_TAU,
             P3_WEIGHTS,
         )
-        from character_identification_spark.plans.coref_scorer import learned_best
+        from character_identification_spark.plans.coref_scorer import (
+            learned_best,
+            learned_members,
+        )
+
+        PPL_WEIGHTS = getattr(_cp, "PPL_WEIGHTS", None)
+        PPL_TAU = ppl_tau if ppl_tau is not None else getattr(_cp, "PPL_TAU", None)
+        P2M_TAU = p2m_tau if p2m_tau is not None else getattr(_cp, "P2M_TAU", None)
 
         # τ defaults come from the committed params; overrides exist for
         # the dev-F1 sweep (tools/measure_transcript_rules.py) — the
         # committed value must be the sweep argmax (CLAUDE.md discipline)
         P2_TAU = P2_TAU if p2_tau is None else p2_tau
         P3_TAU = P3_TAU if p3_tau is None else p3_tau
+        NOM_TAU = NOM_TAU if nom_tau is None else nom_tau
         m = with_antecedent_candidates(m, event_scope=event_scope)
 
     if p2_mode == "vocative":
@@ -593,18 +687,49 @@ def link_transcript_mentions(
     # list per mention, state.py:14,31-37). auto_ref stays the primary
     # (speaker, the reference's closest-previous-speaker pick for plurals,
     # baseline/tools/ioutils.py:139-151); auto_refs carries the full set.
-    auto_refs = F.when(
-        F.col("kind") == "ppl",
-        F.array_distinct(
-            F.filter(
-                F.array(F.col("spk"), F.col("prev_spk")), lambda x: x.isNotNull()
-            )
-        ),
-    ).otherwise(
-        F.when(
-            F.col("auto_ref").isNotNull(), F.array(F.col("auto_ref"))
-        ).otherwise(F.array().cast("array<string>"))
+    ppl_set = F.array_distinct(
+        F.filter(
+            F.array(F.col("spk"), F.col("prev_spk")), lambda x: x.isNotNull()
+        )
     )
+    if learned_needed and PPL_WEIGHTS is not None and PPL_TAU is not None:
+        # M5 LEARNED multi-label gate (reference linking_joint.py:71-91):
+        # per-candidate sigmoid membership, UNIONED with the rule set —
+        # the gate gap-fills participants the speaker/prev-speaker rule
+        # cannot see ("they" = two characters named earlier in the scene)
+        ppl_set = F.array_distinct(
+            F.concat(
+                ppl_set,
+                F.coalesce(
+                    learned_members("cands", PPL_WEIGHTS, PPL_TAU),
+                    F.array().cast("array<string>"),
+                ),
+            )
+        )
+    single_set = F.when(
+        F.col("auto_ref").isNotNull(), F.array(F.col("auto_ref"))
+    ).otherwise(F.array().cast("array<string>"))
+    auto_refs = F.when(F.col("kind") == "ppl", ppl_set).otherwise(single_set)
+    if learned_needed and P2_WEIGHTS is not None and P2M_TAU is not None:
+        # "you" is NUMBER-AMBIGUOUS: 96 of dev's 415 plural golds sit on
+        # second-person mentions that the single-label decode can only
+        # give one referent. The SAME trained P2 head (its training rows
+        # are membership labels — y = ref ∈ gold_refs, plural included)
+        # gates extra members at a HIGHER threshold τ_p2m, unioned with
+        # the argmax pick (reference joint model analog,
+        # linking_joint.py:71-91).
+        auto_refs = F.when(
+            F.col("kind") == "p2",
+            F.array_distinct(
+                F.concat(
+                    single_set,
+                    F.coalesce(
+                        learned_members("cands", P2_WEIGHTS, P2M_TAU),
+                        F.array().cast("array<string>"),
+                    ),
+                )
+            ),
+        ).otherwise(auto_refs)
     if label_vocab is not None:  # F4 applies to every linking label
         auto_refs = F.array_distinct(
             F.transform(

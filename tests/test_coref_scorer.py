@@ -102,3 +102,34 @@ def test_learned_best_argmax_and_tau(spark, toy):
     # all-zero weights: every candidate scores 0.5 — tie breaks to the
     # lexicographically first label, deterministically
     assert pick([0.0] * len(FEATURES), 0.5) == ("heckles", 1.0)
+
+
+def test_learned_members_multilabel_gate(spark, toy):
+    """M5 plural gate (learned_members): a SET decode — every real
+    candidate clearing τ is a member; pseudo surfaces never are
+    (reference linking_joint.py:71-91, per-label sigmoid ≥ threshold)."""
+    from character_identification_spark.plans.coref_scorer import learned_members
+
+    pron = toy[3]
+    df = spark.createDataFrame([Row(cands=[
+        Row(ref=c["ref"], pseudo=c["pseudo"], fs=list(c["fs"]))
+        for c in pron["cands"]
+    ])])
+
+    def members(weights, tau):
+        r = df.select(learned_members("cands", weights, tau).alias("m")).collect()
+        return sorted(r[0]["m"])
+
+    # zero weights → every sigmoid is 0.5: τ at 0.5 admits all REAL
+    # candidates (heckles is pseudo → excluded even though it scores 0.5)
+    assert members([0.0] * len(FEATURES), 0.5) == [
+        "monica geller", "rachel green",
+    ]
+    # τ just above 0.5 → empty set (the gate is conservative by default)
+    assert members([0.0] * len(FEATURES), 0.51) == []
+    # weight the prev-speaker indicator → only monica clears a high τ
+    assert members(_w(is_prev=3.0), 0.9) == ["monica geller"]
+    # a huge pseudo weight still cannot admit a pseudo surface
+    assert members(_w(pseudo=9.0), 0.5) == [
+        "monica geller", "rachel green",
+    ]

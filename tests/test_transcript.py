@@ -4,13 +4,16 @@ fixtures. Executes the adapter (SURVEY §2 S1-S4, F1-F3), the scene-scoped
 deterministic linker, and the full evaluator suite; the committed
 measurements live in BASELINE.md.
 
-Honest gate: pairwise F1 ≥ 0.76 on dev (measured 0.7604 with the round-3
-learned antecedent scorer + nominal mention class; rules-only round 2:
-0.7430) — still far below the 0.99 aspiration, because ~60% of real
-mentions are pronouns; the deterministic logistic scorer
-(plans/coref_scorer.py) recovers part of what the reference's CNN
-learns. All gates re-derived from the round-3 measurement run
-(BASELINE.md), never loosened ad hoc.
+Honest gate: pairwise F1 ≥ 0.76 on dev (measured 0.7604, stable across
+rounds 3-4; rules-only round 2: 0.7430) — still far below the 0.99
+aspiration, because ~60% of real mentions are pronouns; the
+deterministic logistic scorer (plans/coref_scorer.py) recovers part of
+what the reference's CNN learns. Round 4 adds the M5 learned plural
+membership gate (multi-membership pairwise F1 0.8083 → 0.8202 dev) and
+the lexical-context/episode-prior feature ablations — the singular
+heads' dev argmax keeps them masked (BASELINE.md round-4 table). All
+gates re-derived from the committed measurement run, never loosened ad
+hoc.
 """
 
 from __future__ import annotations
@@ -166,8 +169,9 @@ def test_linking_head_hybrid_gate(dev):
     the coarsened linking task (main six + '#other#', the reference's F4
     setup) the HYBRID — rule labels where resolved, softmax head for the
     clusters the rules leave unresolved — must beat the rules alone.
-    Measured (BASELINE.md round 3, with the nominal mention class):
-    hybrid 0.8497 dev / 0.8282 tst vs pooled-rules 0.8031/0.7836.
+    Measured (BASELINE.md round 4, nominal-aware clusters + the M5
+    plural gate in the pooled view, 'nom' in the kind-fraction block):
+    hybrid 0.8497 dev / 0.8286 tst vs pooled-rules 0.8117/0.7852.
     Gates = measured − margin."""
     from character_identification_spark.plans.linking_head import hybrid_link
 
@@ -254,7 +258,10 @@ def test_plural_multi_membership(spark, dev):
     # multi-membership scoring consumes the label sets end-to-end; the
     # extra addressee edges trade precision for recall around the same F1
     ev = pairwise_f1_multi(mem, gold_pairs_from_mentions(gold))
-    assert ev["f1"] >= 0.80  # measured 0.8083 (round 2 gate: 0.70)
+    # measured 0.8202 with the round-4 M5 learned plural gate (τ=0.925
+    # dev argmax; rules-only 0.8083; round 2 gate: 0.70) — see BASELINE.md
+    # for the split-half CV and the held-out tst numbers
+    assert ev["f1"] >= 0.81
     assign.unpersist()
 
 

@@ -52,7 +52,11 @@ def rule_accuracy(assign, gold) -> dict[str, tuple[int, int]]:
 
 def main() -> None:
     split = sys.argv[1] if len(sys.argv) > 1 else "dev"
-    modes = sys.argv[2:] or list(P3_MODES)
+    args = sys.argv[2:]
+    if "--ep-mod" in args:
+        i = args.index("--ep-mod")
+        args = args[:i] + args[i + 2:]
+    modes = args or list(P3_MODES)
     path = f"/root/reference/json/character-identification-{split}.json"
     spark = get_spark(
         app_name="measure_rules", cores=8,
@@ -60,6 +64,17 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     utt = read_transcript_utterances(spark, path)
+    # --ep-mod M:R mirrors tools/train_coref_scorer.py's split-half
+    # filter: measure on the episode parity the head was NOT trained on
+    # (dev-internal generalization check; tst stays held out).
+    if "--ep-mod" in sys.argv:
+        i = sys.argv.index("--ep-mod")
+        mspec, rspec = sys.argv[i + 1].split(":")
+        par = (
+            F.conv(F.substring(F.md5("episode_id"), 1, 4), 16, 10).cast("long")
+            % int(mspec)
+        )
+        utt = utt.filter(par == int(rspec))
     gold = transcript_gold_mentions(utt).cache()
     gp = gold_pairs_from_mentions(gold).cache()
     gp.count()
@@ -75,12 +90,14 @@ def main() -> None:
         scope = "episode" if p3spec.endswith(":ep") else "scene"
         p3spec = p3spec.removesuffix(":ep")
         p3m, _, p3t = p3spec.partition("@")
-        p2m = p2t = nom_t = ppl_t = ""
+        p2m = p2t = nom_t = ppl_t = p2m_t = ""
         for s in rest:
             if s.startswith("nom@"):
                 nom_t = s[4:]
             elif s.startswith("ppl@"):
                 ppl_t = s[4:]
+            elif s.startswith("p2m@"):
+                p2m_t = s[4:]
             else:
                 p2m, _, p2t = s.partition("@")
         assign = link_transcript_mentions(
@@ -89,6 +106,7 @@ def main() -> None:
             p2_tau=float(p2t) if p2t else None,
             nom_tau=float(nom_t) if nom_t else None,
             ppl_tau=float(ppl_t) if ppl_t else None,
+            p2m_tau=float(p2m_t) if p2m_t else None,
             event_scope=scope,
         ).cache()
         ev = pairwise_f1(assign, gp)

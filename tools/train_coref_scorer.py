@@ -181,18 +181,68 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     utt = read_transcript_utterances(spark, path)
+    # --ep-mod M:R — keep only episodes with md5(episode_id) % M == R.
+    # The split-half generalization check for dev-trained heads: train on
+    # one parity, measure on the other, all WITHIN dev (tst stays
+    # untouched). Deterministic (md5, no RNG).
+    if "--ep-mod" in sys.argv:
+        mspec, rspec = sys.argv[sys.argv.index("--ep-mod") + 1].split(":")
+        par = (
+            F.conv(F.substring(F.md5("episode_id"), 1, 4), 16, 10).cast("long")
+            % int(mspec)
+        )
+        utt = utt.filter(par == int(rspec))
     gold = transcript_gold_mentions(utt).cache()
 
     tau_override = {}
-    for cls in ("p2", "p3", "nom"):
+    for cls in ("p2", "p3", "nom", "ppl"):
         flag = f"--tau-{cls}"
         if flag in sys.argv:
             tau_override[cls.upper()] = float(sys.argv[sys.argv.index(flag) + 1])
 
     scope = "episode" if "--scope-ep" in sys.argv else "scene"
+    # --mask f1,f2 zeroes those feature columns before training (ablation
+    # harness — a zero-weight feature is inert at inference, so masked
+    # heads need no plan changes); --mask-p2/-p3/-nom/-ppl override PER
+    # HEAD (the round-4 ablations showed the argmax differs by head: the
+    # plural gate wants the new context/episode features, the small P3 /
+    # NOM training sets are diluted by some of them). The committed
+    # default must be the sweep argmax over these ablations (CLAUDE.md
+    # discipline).
+    def _mask_arg(flag: str) -> list[int] | None:
+        if flag not in sys.argv:
+            return None
+        spec = sys.argv[sys.argv.index(flag) + 1]
+        if spec in ("", "-", "none"):
+            return []
+        return [FEATURES.index(n) for n in spec.split(",")]
+
+    global_mask = _mask_arg("--mask") or []
+    head_masks = {
+        name: _mask_arg(f"--mask-{name.lower()}")
+        for name in ("P2", "P3", "NOM", "PPL")
+    }
     out = {}
-    for name, kinds in (("P2", ("p2",)), ("P3", ("p3m", "p3f")), ("NOM", ("nom",))):
+    # PPL is the M5 multi-label membership gate (decode = sigmoid ≥ τ SET,
+    # not argmax — plans/coref_scorer.learned_members); its training rows
+    # are the same (candidate, in-gold?) pairs, so the shared logistic
+    # trainer applies unchanged. Its printed decode_acc is the argmax
+    # diagnostic only; the committed τ comes from the multi-membership
+    # pairwise-F1 sweep (tools/measure_transcript_rules.py).
+    for name, kinds in (
+        ("P2", ("p2",)),
+        ("P3", ("p3m", "p3f")),
+        ("NOM", ("nom",)),
+        ("PPL", ("ppl",)),
+    ):
         groups, X, y = feature_rows(utt, gold, kinds, scope)
+        mask_idx = head_masks[name] if head_masks[name] is not None else global_mask
+        if mask_idx:
+            X = X.copy()
+            X[:, mask_idx] = 0.0
+            for g in groups.values():
+                for _, fs, _, _ in g:
+                    fs[mask_idx] = 0.0
         w = train_logistic(X, y, epochs)
         acc_tau, acc, top1 = pick_tau(groups, w)
         tau = tau_override.get(name, acc_tau)
@@ -215,6 +265,17 @@ def main() -> None:
         + " ".join(
             [split, "--write", "--epochs", str(epochs)]
             + (["--scope-ep"] if scope == "episode" else [])
+            + (
+                ["--mask", ",".join(FEATURES[i] for i in global_mask)]
+                if global_mask
+                else []
+            )
+            + [
+                f"--mask-{n.lower()} "
+                + (",".join(FEATURES[i] for i in hm) if hm else "none")
+                for n, hm in sorted(head_masks.items())
+                if hm is not None
+            ]
             + [f"--tau-{k.lower()} {v}" for k, v in sorted(tau_override.items())]
         )
         + "\n\n"
@@ -222,7 +283,7 @@ def main() -> None:
         "ranking model) with the decode of :112-145; this engine's scorer is\n"
         'the deterministic logistic analog mandated by the no-RNG invariant.\n"""\n\n'
     )
-    for name in ("P2", "P3", "NOM"):
+    for name in ("P2", "P3", "NOM", "PPL"):
         w, tau = out[name]
         ws = ",\n    ".join(
             f"{v!r},  # {f}" for f, v in zip(FEATURES, w)
