@@ -170,6 +170,54 @@ def pick_tau(groups, w: np.ndarray) -> tuple[float, float, float]:
     return best_tau, best_acc, top1_acc
 
 
+def pooled_singular_heads(utt, gold, scope, epochs):
+    """--pooled experiment: ONE logistic on the stacked P2+P3+NOM rows —
+    the small singular training sets share statistical strength for the
+    round-4 lexical/episode features — with class-indicator and
+    class×gender interaction columns appended DURING TRAINING ONLY.
+    Because every extra column is (base feature × class indicator), the
+    trained weights FOLD BACK into three ordinary per-head weight
+    vectors (bias/g_match/g_unknown slots shifted per class), so the
+    Catalyst inference path is untouched.
+
+    Returns {head: (weights, groups)} with groups for τ-picking."""
+    heads = (("P2", ("p2",)), ("P3", ("p3m", "p3f")), ("NOM", ("nom",)))
+    per = {}
+    for name, kinds in heads:
+        per[name] = feature_rows(utt, gold, kinds, scope)
+    n_base = len(FEATURES)
+    gi, ui = FEATURES.index("g_match"), FEATURES.index("g_unknown")
+    # extra columns: [ind_P3, ind_NOM, gm_P3, gu_P3, gm_NOM, gu_NOM]
+    Xs, ys = [], []
+    for ci, (name, _) in enumerate(heads):
+        _, X, y = per[name]
+        ext = np.zeros((len(X), 6))
+        if name == "P3":
+            ext[:, 0] = 1.0
+            ext[:, 2] = X[:, gi]
+            ext[:, 3] = X[:, ui]
+        elif name == "NOM":
+            ext[:, 1] = 1.0
+            ext[:, 4] = X[:, gi]
+            ext[:, 5] = X[:, ui]
+        Xs.append(np.hstack([X, ext]))
+        ys.append(y)
+    w = train_logistic(np.vstack(Xs), np.concatenate(ys), epochs)
+    folded = {}
+    for name, _ in heads:
+        v = w[:n_base].copy()
+        if name == "P3":
+            v[0] += w[n_base + 0]
+            v[gi] += w[n_base + 2]
+            v[ui] += w[n_base + 3]
+        elif name == "NOM":
+            v[0] += w[n_base + 1]
+            v[gi] += w[n_base + 4]
+            v[ui] += w[n_base + 5]
+        folded[name] = (v, per[name][0])
+    return folded
+
+
 def main() -> None:
     split = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "dev"
     write = "--write" in sys.argv
@@ -229,21 +277,32 @@ def main() -> None:
     # trainer applies unchanged. Its printed decode_acc is the argmax
     # diagnostic only; the committed τ comes from the multi-membership
     # pairwise-F1 sweep (tools/measure_transcript_rules.py).
+    pooled = (
+        pooled_singular_heads(utt, gold, scope, epochs)
+        if "--pooled" in sys.argv
+        else {}
+    )
     for name, kinds in (
         ("P2", ("p2",)),
         ("P3", ("p3m", "p3f")),
         ("NOM", ("nom",)),
         ("PPL", ("ppl",)),
     ):
-        groups, X, y = feature_rows(utt, gold, kinds, scope)
-        mask_idx = head_masks[name] if head_masks[name] is not None else global_mask
-        if mask_idx:
-            X = X.copy()
-            X[:, mask_idx] = 0.0
-            for g in groups.values():
-                for _, fs, _, _ in g:
-                    fs[mask_idx] = 0.0
-        w = train_logistic(X, y, epochs)
+        if name in pooled:
+            w, groups = pooled[name]
+            y = np.array([1.0 if c[2] else 0.0 for g in groups.values() for c in g])
+        else:
+            groups, X, y = feature_rows(utt, gold, kinds, scope)
+            mask_idx = (
+                head_masks[name] if head_masks[name] is not None else global_mask
+            )
+            if mask_idx:
+                X = X.copy()
+                X[:, mask_idx] = 0.0
+                for g in groups.values():
+                    for _, fs, _, _ in g:
+                        fs[mask_idx] = 0.0
+            w = train_logistic(X, y, epochs)
         acc_tau, acc, top1 = pick_tau(groups, w)
         tau = tau_override.get(name, acc_tau)
         out[name] = (w, tau)
@@ -265,6 +324,7 @@ def main() -> None:
         + " ".join(
             [split, "--write", "--epochs", str(epochs)]
             + (["--scope-ep"] if scope == "episode" else [])
+            + (["--pooled"] if "--pooled" in sys.argv else [])
             + (
                 ["--mask", ",".join(FEATURES[i] for i in global_mask)]
                 if global_mask
