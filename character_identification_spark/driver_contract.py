@@ -255,6 +255,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs_aug(spark, sf_dir))
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (operators/dedup.duplicated_spans
+    — the Lee-et-al ACL'22 primitive): maximal merged runs of 8-token
+    windows shared verbatim by ≥ 2 documents. The +100000 tail-truncated
+    copies in _docs_aug guarantee long shared prefixes, so the oracle has
+    non-trivial spans to pin."""
+    from character_identification_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(_docs_aug(spark, sf_dir), k=8, min_docs=2)
+
+
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dup_pairs(
         _docs_aug(spark, sf_dir),
@@ -1162,6 +1173,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_spans": q_dedup_spans,
     "dedup_ngram_jaccard_verify": q_dedup_ngram_jaccard_verify,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
     "url_dedup": q_url_dedup,

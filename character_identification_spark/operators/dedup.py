@@ -401,3 +401,78 @@ def dedup_clusters(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id") ->
         .drop("component")
         .withColumn("keep", F.col(id_col) == F.col("dup_group"))
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact SUBSTRING dedup — the span-level primitive of Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better" (ACL '22,
+    public): any k-token window whose md5-hash occurs in ≥ min_docs
+    distinct documents marks a duplicated span; per document, overlapping
+    duplicated windows merge into MAXIMAL spans (gaps-and-islands over
+    window starts). Doc-level dedup (exact/MinHash/SimHash families
+    above) misses boilerplate shared across otherwise-distinct pages —
+    this catches it at token granularity.
+
+    → (doc_id, span_start, span_end, n_windows, max_share) with
+    [span_start, span_end) token offsets, n_windows = merged window
+    count, max_share = the widest cross-document spread among the
+    span's windows.
+
+    Dataflow at scale: the window explode is map-side (k-token slices of
+    the token array, one 60-bit md5 hash each — no string blowup past the
+    hash), the duplicate test is ONE groupBy on an 8-byte uniform key,
+    membership returns via a semi-shaped hash join, and the island merge
+    is a per-document window over only the DUPLICATED windows (bounded by
+    doc length). At 100 TB the hash groupBy shuffles |tokens| rows of
+    (long, id) — the same order of work as the MinHash signature pass —
+    and hot windows (ubiquitous boilerplate) skew only the count agg,
+    which is a partial-aggregated sum, not a row explosion."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    win = docs.select(
+        F.col(id_col),
+        F.explode(starts).alias("start"),
+        toks.alias("_toks"),
+    ).select(
+        id_col,
+        "start",
+        h_long(F.array_join(F.slice("_toks", F.col("start") + 1, k), " ")).alias(
+            "h"
+        ),
+    )
+    shared = (
+        win.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("share"))
+        .filter(F.col("share") >= min_docs)
+    )
+    dup = win.join(shared, "h")
+    w = Window.partitionBy(id_col).orderBy("start")
+    prev_max_end = F.max(F.col("start") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup.withColumn(
+        "new_span",
+        F.when(F.col("start") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "span_id",
+        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "span_id")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + k).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.max("share").alias("max_share"),
+        )
+        .drop("span_id")
+    )

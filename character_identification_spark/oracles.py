@@ -511,6 +511,52 @@ FROM (SELECT doc_id FROM docs) d LEFT JOIN comp c ON d.doc_id = c.node
 """
 )
 
+# exact twin of operators/dedup.duplicated_spans(k=8, min_docs=2): the
+# window hash is the engine's h_long (60-bit md5 prefix) of the space-
+# joined 8-token slice, so the duplicate-window set — and therefore the
+# merged island spans — replays identically
+SQL_DEDUP_SPANS = (
+    "WITH "
+    + _DOCS
+    + r""",
+tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM docs
+),
+win AS (
+  SELECT doc_id, s AS start,
+         CAST(CAST('0x' || substr(md5(
+           array_to_string(t[s + 1 : s + 8], ' ')), 1, 15)
+           AS UBIGINT) AS BIGINT) AS h
+  FROM tok, unnest(generate_series(0, len(t) - 8)) AS u(s)
+  WHERE len(t) >= 8
+),
+shared AS (
+  SELECT h, count(DISTINCT doc_id) AS share FROM win GROUP BY h
+  HAVING count(DISTINCT doc_id) >= 2
+),
+dup AS (SELECT win.doc_id, win.start, shared.share FROM win JOIN shared USING (h)),
+isl AS (
+  SELECT doc_id, start, share,
+         CASE WHEN start > coalesce(
+                max(start + 8) OVER (PARTITION BY doc_id ORDER BY start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_span
+  FROM dup
+),
+isl2 AS (
+  SELECT *, sum(new_span) OVER (PARTITION BY doc_id ORDER BY start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM isl
+)
+SELECT doc_id, CAST(min(start) AS INTEGER) AS span_start,
+       CAST(max(start) + 8 AS INTEGER) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(max(share) AS BIGINT) AS max_share
+FROM isl2 GROUP BY doc_id, span_id
+"""
+)
+
 SQL_DEDUP_NGRAM_JACCARD = (
     "WITH "
     + _DOCS
@@ -1460,6 +1506,7 @@ ORACLES = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_spans": SQL_DEDUP_SPANS,
     "dedup_ngram_jaccard_verify": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_pairs": SQL_DEDUP_EMBEDDING_PAIRS,
     "url_dedup": SQL_URL_DEDUP,

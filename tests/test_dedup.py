@@ -154,3 +154,35 @@ def test_simhash_numpy_is_partitioning_invariant(spark, docs):
     many = {r["doc_id"]: r["simhash"] for r in
             simhash(docs.repartition(7), impl="numpy").collect()}
     assert one == many
+
+
+def test_duplicated_spans_merges_islands(spark):
+    """Span-level exact-substring dedup (duplicated_spans): shared k-token
+    windows merge into maximal per-document spans; unshared documents and
+    sub-k documents produce nothing."""
+    from character_identification_spark.operators.dedup import duplicated_spans
+
+    a_toks = [f"a{i}" for i in range(20)]
+    b_toks = a_toks[5:16] + ["bx", "by", "bz"]  # shares a5..a15 (11 tokens)
+    rows = [
+        (1, " ".join(a_toks)),
+        (2, " ".join(b_toks)),
+        (3, "totally unrelated words only once here"),
+        (4, "too short"),  # < k tokens → no windows, no crash
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicated_spans(docs, k=4, min_docs=2)
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"], r["max_share"])
+        for r in out.collect()
+    }
+    # 11 shared tokens → 8 overlapping 4-windows, merged into ONE span
+    assert spans[1] == (5, 16, 8, 2)   # a-coordinates [5, 16)
+    assert spans[2] == (0, 11, 8, 2)   # b-coordinates [0, 11)
+    assert 3 not in spans and 4 not in spans
+    # partitioning invariance: the md5 window hash is a pure function
+    out2 = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"], r["max_share"])
+        for r in duplicated_spans(docs.repartition(5), k=4, min_docs=2).collect()
+    }
+    assert out2 == spans
