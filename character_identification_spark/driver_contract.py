@@ -363,6 +363,15 @@ def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained char-trigram LM quality score (textstats.lm_score —
+    the CCNet LM-filter analog): corpus-typicality as mean trigram
+    log-probability, broadcast-join scoring, DuckDB-replayable."""
+    from character_identification_spark.operators.textstats import lm_score
+
+    return lm_score(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
@@ -1184,6 +1193,7 @@ QUERIES = {
     "text_language_id": q_text_language_id,
     "text_fingerprint": q_text_fingerprint,
     "text_token_counts": q_text_token_counts,
+    "text_lm_score": q_text_lm_score,
     "similarity_topk": q_similarity_topk,
     "similarity_ann": q_similarity_ann,
     "similarity_ivf": q_similarity_ivf,

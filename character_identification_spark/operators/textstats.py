@@ -136,3 +136,53 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.md5(norm).alias("fp_norm"),
         F.md5(min_shingle).alias("fp_shingle"),
     )
+
+
+def lm_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style language-model quality score, self-trained: a char
+    TRIGRAM unigram-LM is counted over the corpus itself (one explode +
+    one groupBy on the trigram key), then every document is scored as
+    the mean log-probability of its trigrams (public reference: CCNet's
+    LM-perplexity filter, Wenzek et al. 2020 — here the deterministic
+    relational analog; no external model, so the DuckDB oracle replays
+    it bit-for-bit after 6-dp rounding).
+
+    → (doc_id, n_grams, lm_score) — lm_score = avg ln(count/total),
+    higher = more typical of the corpus; boilerplate scores high,
+    character noise scores low. Docs with < 3 chars → NULL score.
+
+    Scale shape: the trigram COUNT table is bounded by the charset³
+    vocabulary (≪ corpus size — low-millions entries at web scale), so
+    the per-document scoring join is a BROADCAST, and the corpus is
+    touched exactly twice (count pass, score pass) with no corpus-sized
+    shuffle."""
+    # substring with a Column start needs the SQL form (F.substring takes
+    # an int pos only); the CASE guards sequence() against len < 3, where
+    # sequence(1, 0) would generate a DESCENDING range, not an empty one
+    grams = F.expr(
+        f"CASE WHEN length(lower(trim({text_col}))) >= 3 THEN"
+        f" transform(sequence(1, length(lower(trim({text_col}))) - 2),"
+        f" i -> substring(lower(trim({text_col})), i, 3))"
+        f" ELSE array() END"
+    )
+    g = docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+    counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    scored = (
+        g.join(F.broadcast(counts), "gram")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("tot"))), 6).alias(
+                "lm_score"
+            ),
+        )
+    )
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        "lm_score",
+    )

@@ -723,6 +723,28 @@ SELECT doc_id,
 FROM documents
 """
 
+# exact twin of textstats.lm_score: the self-trained char-trigram LM —
+# counts and total replay exactly; avg-of-logs agrees after 6-dp rounding
+SQL_TEXT_LM_SCORE = r"""
+WITH t AS (
+  SELECT doc_id, lower(trim(text)) AS s FROM documents
+),
+g AS (
+  SELECT doc_id, substr(s, CAST(i AS INTEGER), 3) AS gram
+  FROM t, unnest(generate_series(1, length(s) - 2)) AS u(i)
+  WHERE length(s) >= 3
+),
+c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+tot AS (SELECT sum(cnt) AS tot FROM c),
+sc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         round(avg(ln(cnt / tot)), 6) AS lm_score
+  FROM g JOIN c USING (gram), tot GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(sc.n_grams, 0) AS n_grams, sc.lm_score
+FROM t LEFT JOIN sc USING (doc_id)
+"""
+
 # --------------------------------------------------------------------------
 # Curation: URL dedup, repetition stats, PII scrub, keep-best selection
 # --------------------------------------------------------------------------
@@ -1517,6 +1539,7 @@ ORACLES = {
     "text_language_id": SQL_TEXT_LANGUAGE_ID,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
+    "text_lm_score": SQL_TEXT_LM_SCORE,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "similarity_ann": SQL_SIMILARITY_ANN,
     "similarity_ivf": SQL_SIMILARITY_IVF,

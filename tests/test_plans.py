@@ -215,3 +215,15 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+@needs_data
+def test_lm_score_scoring_join_is_broadcast(spark):
+    """lm_score's per-document scoring join must broadcast the trigram
+    count table (bounded by the charset³ vocabulary, ≪ corpus size) — at
+    100 TB a SortMergeJoin here would shuffle the whole exploded corpus."""
+    from character_identification_spark.driver_contract import QUERIES
+
+    plan = plan_of(QUERIES["text_lm_score"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -65,3 +65,30 @@ def test_fingerprints(spark):
     assert out[1]["fp_exact"] != out[2]["fp_exact"]
     assert out[1]["fp_norm"] == out[2]["fp_norm"]
     assert out[1]["fp_shingle"] == out[2]["fp_shingle"]
+
+
+def test_lm_score_semantics(spark):
+    """Char-trigram self-LM (lm_score): hand-checkable counts on a tiny
+    corpus; sub-3-char docs score NULL with zero grams; repeated
+    (typical) content outscores one-off noise."""
+    import math
+
+    from character_identification_spark.operators.textstats import lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "ababa"), (2, "ababa"), (3, "xyz"), (4, "ab")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    # corpus grams: doc1/doc2 each {aba, bab, aba} (3 grams), doc3 {xyz}
+    # → counts: aba=4, bab=2, xyz=1, total=7
+    t = 7.0
+    exp1 = round((math.log(4 / t) + math.log(2 / t) + math.log(4 / t)) / 3, 6)
+    assert out[1]["n_grams"] == 3 and abs(out[1]["lm_score"] - exp1) < 1e-9
+    assert out[2]["lm_score"] == out[1]["lm_score"]
+    assert out[3]["n_grams"] == 1
+    assert abs(out[3]["lm_score"] - round(math.log(1 / t), 6)) < 1e-9
+    # typical content scores higher than the one-off
+    assert out[1]["lm_score"] > out[3]["lm_score"]
+    # sub-3-char doc: zero grams, NULL score (not a crash, not -inf)
+    assert out[4]["n_grams"] == 0 and out[4]["lm_score"] is None
