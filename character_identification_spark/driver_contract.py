@@ -266,6 +266,22 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(_docs_aug(spark, sf_dir), k=8, min_docs=2)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.decontaminate): every
+    20th RAW document plays the benchmark probe set; any augmented-corpus
+    document sharing a verbatim 8-token window with a probe is flagged.
+    By construction the probes' own corpus copies (+ their +100000/
+    +200000 derivatives) must flag — a value-level oracle with known
+    positives."""
+    from character_identification_spark.operators.dedup import decontaminate
+
+    docs = _docs_aug(spark, sf_dir)
+    probes = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    ).select("doc_id", "text")
+    return decontaminate(docs, probes, k=8)
+
+
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dup_pairs(
         _docs_aug(spark, sf_dir),
@@ -1183,6 +1199,7 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "dedup_spans": q_dedup_spans,
+    "decontaminate": q_decontaminate,
     "dedup_ngram_jaccard_verify": q_dedup_ngram_jaccard_verify,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
     "url_dedup": q_url_dedup,

@@ -476,3 +476,53 @@ def duplicated_spans(
         )
         .drop("span_id")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    probes: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark DECONTAMINATION: flag corpus documents that share any
+    verbatim k-token window with a probe set (eval/benchmark texts) —
+    the standard n-gram-overlap decontamination step of public LLM data
+    pipelines (e.g. GPT-3 appendix C / Dolma's paragraph-ngram variant),
+    re-expressed as the span-dedup window hash against a probe-side hash
+    set.
+
+    → (doc_id, contaminated, n_hits) for EVERY corpus document, n_hits =
+    number of distinct probe-matching windows.
+
+    Scale shape: the probe n-gram hash set is benchmark-sized (thousands
+    of docs, ≪ corpus), so the membership test is a BROADCAST left-semi-
+    shaped join against the corpus windows — the corpus is scanned once,
+    nothing corpus-sized shuffles."""
+    def windows(df):
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        n = F.size(toks)
+        starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return df.select(
+            F.col(id_col), F.explode(starts).alias("start"), toks.alias("_t")
+        ).select(
+            id_col,
+            h_long(
+                F.array_join(F.slice("_t", F.col("start") + 1, k), " ")
+            ).alias("h"),
+        )
+
+    probe_h = windows(probes).select("h").distinct()
+    hits = (
+        windows(docs)
+        .join(F.broadcast(probe_h), "h")
+        .groupBy(id_col)
+        .agg(F.count_distinct("h").alias("n_hits"))
+    )
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_hits") > 0, F.lit(False)).alias("contaminated"),
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+    )

@@ -557,6 +557,44 @@ FROM isl2 GROUP BY doc_id, span_id
 """
 )
 
+# exact twin of operators/dedup.decontaminate(k=8) with probes = every
+# 20th raw document (q_decontaminate)
+SQL_DECONTAMINATE = (
+    "WITH "
+    + _DOCS
+    + r""",
+tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM docs
+),
+win AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(
+           array_to_string(t[s + 1 : s + 8], ' ')), 1, 15)
+           AS UBIGINT) AS BIGINT) AS h
+  FROM tok, unnest(generate_series(0, len(t) - 8)) AS u(s)
+  WHERE len(t) >= 8
+),
+ptok AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE doc_id % 20 = 0
+),
+ph AS (
+  SELECT DISTINCT CAST(CAST('0x' || substr(md5(
+           array_to_string(t[s + 1 : s + 8], ' ')), 1, 15)
+           AS UBIGINT) AS BIGINT) AS h
+  FROM ptok, unnest(generate_series(0, len(t) - 8)) AS u(s)
+  WHERE len(t) >= 8
+),
+hits AS (
+  SELECT doc_id, count(DISTINCT h) AS n_hits
+  FROM win JOIN ph USING (h) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(hits.n_hits > 0, FALSE) AS contaminated,
+       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits
+FROM (SELECT doc_id FROM docs) d LEFT JOIN hits USING (doc_id)
+"""
+)
+
 SQL_DEDUP_NGRAM_JACCARD = (
     "WITH "
     + _DOCS
@@ -1529,6 +1567,7 @@ ORACLES = {
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_spans": SQL_DEDUP_SPANS,
+    "decontaminate": SQL_DECONTAMINATE,
     "dedup_ngram_jaccard_verify": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_pairs": SQL_DEDUP_EMBEDDING_PAIRS,
     "url_dedup": SQL_URL_DEDUP,

@@ -186,3 +186,27 @@ def test_duplicated_spans_merges_islands(spark):
         for r in duplicated_spans(docs.repartition(5), k=4, min_docs=2).collect()
     }
     assert out2 == spans
+
+
+def test_decontaminate_flags_probe_overlap(spark):
+    """Benchmark decontamination: docs sharing a verbatim k-window with a
+    probe flag, everything else (incl. sub-k docs) stays clean."""
+    from character_identification_spark.operators.dedup import decontaminate
+
+    bench = " ".join(f"q{i}" for i in range(10))  # the "benchmark" text
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words " + bench + " outro"),  # verbatim inclusion
+            (2, "totally clean document with enough words to window"),
+            (3, "q0 q1 q2 shuffled q4 q3 q5 q6 q7 q8 q9"),  # broken order
+            (4, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in decontaminate(docs, probes, k=4).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] >= 7
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    # the shuffle breaks every 4-window except the q5..q9 tail run
+    assert out[3]["contaminated"] and out[3]["n_hits"] <= 2
+    assert not out[4]["contaminated"]
