@@ -665,6 +665,63 @@ def q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic concat-and-chunk sequence packing
+    (curation.pack_sequences): documents → 512-token training sequences
+    per (lang, subshard), packing order = md5 draw of doc_id, bin id =
+    exclusive-cumsum DIV budget. The whole layout is a pure function of
+    the ids, so the DuckDB oracle replays every (seq_index,
+    offset_in_seq) exactly."""
+    from character_identification_spark.operators.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return pack_sequences(docs, budget=512, n_subshards=4)
+
+
+def q_strip_common_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-frequency boilerplate strip
+    (curation.strip_common_chunks) over the augmented corpus (_docs_aug:
+    base + tail-truncated + verbatim copies — so every base chunk is
+    common by construction via its +200000 copy, and the truncated
+    variants share all full chunks): chunks of 10 tokens, common =
+    appearing in ≥ 3 distinct docs."""
+    from character_identification_spark.operators.curation import (
+        strip_common_chunks,
+    )
+
+    return strip_common_chunks(
+        _docs_aug(spark, sf_dir), chunk_tokens=10, min_docs=3
+    )
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain diversity cap (curation.domain_cap): keep each doc with
+    probability min(1, cap/n_domain) via the md5-uniform draw — every
+    domain contributes ≈ cap docs in expectation; the kept set (and so
+    every count here) is engine-independent. Domain = lang here because
+    the fixture's lang counts are skewed (en > cap > the rest), so the
+    oracle pins BOTH branches: a genuinely capped domain and the
+    keep-everything domains."""
+    from character_identification_spark.operators.curation import domain_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_cap(docs, cap=100, domain_col="lang")
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-n-gram importance weights (textstats.dsir_weights,
+    Xie et al. 2023): target distribution = the 'src0' documents, raw =
+    the whole corpus; word uni+bigrams hashed to 1024 buckets, add-0.5
+    smoothing. dsir_logw > 0 ⇒ the doc looks more like src0 than like
+    the corpus average."""
+    from character_identification_spark.operators.textstats import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return dsir_weights(
+        docs, target_pred=F.col("source") == "src0", n_buckets=1024, alpha=0.5
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: per user, did the event sequence contain
     view → click → purchase IN ORDER (with anything between)?
@@ -1230,6 +1287,10 @@ QUERIES = {
     "quality_gate": q_quality_gate,
     "sample_stratified": q_sample_stratified,
     "mix_corpora": q_mix_corpora,
+    "pack_sequences": q_pack_sequences,
+    "strip_common_chunks": q_strip_common_chunks,
+    "domain_cap": q_domain_cap,
+    "dsir_weights": q_dsir_weights,
     "events_sessions": q_events_sessions,
     "events_rollup": q_events_rollup,
     "events_neighbors": q_events_neighbors,

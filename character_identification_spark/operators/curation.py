@@ -249,6 +249,184 @@ def stratified_sample(
     return docs.filter(u < frac)
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "lang",
+    n_subshards: int = 4,
+    salt: str = "pack",
+) -> DataFrame:
+    """→ (doc_id, shard, subshard, n_tokens, seq_index, offset_in_seq):
+    deterministic concat-and-chunk sequence packing — the training-shard
+    step that concatenates documents into a token stream and splits it
+    into fixed-``budget`` sequences (the GPT-style packing every LLM
+    pretraining pipeline runs after curation). A document's sequence is
+    the one its FIRST token lands in: seq_index = ⌊start/budget⌋,
+    offset_in_seq = start mod budget, where start is the exclusive
+    running token total in packing order.
+
+    Packing order inside a (shard, subshard) is the md5 draw of the doc
+    id — a pure function, so the layout is identical across runs,
+    partitionings, and engines (df.orderBy or RNG shuffles would not
+    be), and re-packing after an upstream change moves only the docs
+    whose ids changed position. Subsharding by md5(id) mod n_subshards
+    bounds the window partition: at 100 TB a single 'en' shard would
+    otherwise serialize through one window partition — with subshards
+    the cumsum shuffle spreads over shard×subshard keys and each stays
+    executor-sized (pick n_subshards ≈ shard_bytes / 1 GB).
+    """
+    from character_identification_spark.functions.hashing import h_long
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(shard_col).alias("shard"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"),
+    ).withColumn(
+        "okey", h_long(F.concat_ws("|", F.lit(salt), F.col("doc_id").cast("string")))
+    ).withColumn(
+        "subshard", (F.col("okey") % n_subshards).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard", "subshard")
+        .orderBy("okey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    # integer DIV, not floor(double /): a 10^12-doc shard's running token
+    # total exceeds 2^53 and double division would mis-bin the tail
+    return d.withColumn("start", start).select(
+        "doc_id",
+        "shard",
+        "subshard",
+        "n_tokens",
+        F.expr(f"start DIV {int(budget)}").cast("long").alias("seq_index"),
+        (F.col("start") % budget).cast("long").alias("offset_in_seq"),
+    )
+
+
+def strip_common_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 10,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, n_chunks, n_common, common_frac, clean_digest):
+    corpus-frequency boilerplate removal — the CCNet paragraph-hash
+    step adapted to fixed token chunks: split each document into
+    non-overlapping ``chunk_tokens``-token chunks, count how many
+    DISTINCT documents each exact chunk appears in, and drop chunks
+    shared by ≥ ``min_docs`` docs (headers, footers, nav bars, license
+    blocks — text that repeats across a site is boilerplate, not
+    content). ``clean_digest`` is the md5 of the surviving chunks
+    re-joined in order, so downstream stages can verify the strip
+    without re-shipping text.
+
+    Dataflow: one explode (linear in tokens) → chunk-hash aggregation
+    (count distinct doc per hash — uniform keys, boilerplate chunks are
+    the hot ones but the agg output is one row per distinct chunk) →
+    join back on the hash → per-doc reassembly agg. Two shuffles, both
+    linear; no similarity search, no pairs.
+    """
+    from character_identification_spark.functions.hashing import h_hex
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.floor((F.size(toks) + chunk_tokens - 1) / chunk_tokens).cast("int")
+    chunks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(1))),
+                lambda i: F.struct(
+                    i.alias("idx"),
+                    F.array_join(
+                        F.slice(toks, (i - 1) * chunk_tokens + 1, chunk_tokens), " "
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.idx").alias("idx"), F.col("c.chunk").alias("chunk"))
+    chunks = chunks.withColumn("chash", h_hex(F.col("chunk")))
+    freq = chunks.groupBy("chash").agg(
+        F.count_distinct("doc_id").alias("doc_freq")
+    )
+    flagged = chunks.join(freq, "chash").withColumn(
+        "common", F.col("doc_freq") >= min_docs
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("common"), 1).otherwise(0)).cast("long").alias("n_common"),
+        F.round(
+            F.sum(F.when(F.col("common"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("common_frac"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("common"),
+                                F.struct(F.col("idx"), F.col("chunk")),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            )
+        ).alias("clean_digest"),
+    )
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int = 100,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "domcap",
+) -> DataFrame:
+    """→ (domain, n_total, keep_rate, n_kept, realized_rate): domain
+    diversity cap — keep each document with probability min(1, cap/n_domain)
+    so every domain contributes ≈ ``cap`` docs in expectation, the standard
+    guard against a handful of giant hosts dominating a crawl-derived
+    training mix. The draw is md5_uniform over the doc id (pure function —
+    the kept SET is reproducible and resume-safe, unlike df.sample).
+
+    Dataflow: per-domain count agg → join the rates back (uniform keys:
+    even at 10^8 domains this is an ordinary shuffle join, no window and
+    no global sort) → filter → per-domain kept agg. The filter itself is
+    shuffle-free once the rate column is attached."""
+    d = docs.select(
+        F.col(id_col).alias("_id"), F.col(domain_col).alias("domain")
+    )
+    tot = d.groupBy("domain").agg(F.count(F.lit(1)).alias("n_total"))
+    rate = tot.withColumn(
+        "keep_rate", F.least(F.lit(1.0), F.lit(float(cap)) / F.col("n_total"))
+    )
+    kept = (
+        d.join(rate, "domain")
+        .filter(md5_uniform("_id", salt) < F.col("keep_rate"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rate.join(kept, "domain", "left")
+        .select(
+            "domain",
+            "n_total",
+            F.round("keep_rate", 6).alias("keep_rate"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.round(
+                F.coalesce("n_kept", F.lit(0)) / F.col("n_total").cast("double"), 6
+            ).alias("realized_rate"),
+        )
+    )
+
+
 def mixing_report(
     docs: DataFrame,
     weights: dict[str, float],

@@ -186,3 +186,86 @@ def lm_score(
         F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
         "lm_score",
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred,
+    n_buckets: int = 1024,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023 — the hashed-n-gram variant): fit two
+    bag-of-hashed-n-gram unigram models — the TARGET distribution over
+    rows matching ``target_pred`` (the curated/domain exemplar set) and
+    the RAW distribution over the whole corpus — and weight every
+    document by its log importance ratio
+
+        log w(x) = Σ_{g ∈ grams(x)} [ log p_target(b(g)) − log p_raw(b(g)) ]
+
+    with word uni+bigram features hashed to ``n_buckets`` buckets
+    (b(g) = md5_60bit(g) mod n_buckets) and add-``alpha`` smoothing.
+    Resampling by these weights (e.g. via sample_stratified on a
+    thresholded tier) tilts a 100-TB crawl toward the target domain —
+    the published recipe behind domain-matched pretraining mixes.
+
+    → (doc_id, is_target, n_feats, dsir_logw) — dsir_logw rounded to
+    6 dp (parallel log-sum order), NULL for docs with zero features.
+
+    Scale shape: one explode (linear in tokens) feeds the bucket-count
+    aggregation; the model is exactly ``n_buckets`` rows regardless of
+    corpus size, so the scoring join is a BROADCAST and the corpus is
+    touched twice (count pass, score pass) with no corpus-sized
+    shuffle — same two-pass shape as lm_score. Everything is md5-pure:
+    the DuckDB oracle replays bucket ids, counts, and weights exactly.
+    """
+    from character_identification_spark.functions.hashing import h_long
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    unis = toks
+    bis = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, 2), " "),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.cast("boolean").alias("is_target"),
+        F.concat(unis, bis).alias("grams"),
+    )
+    g = base.select(
+        "doc_id", "is_target", F.explode("grams").alias("gram")
+    ).withColumn("bucket", (h_long(F.col("gram")) % n_buckets).cast("int"))
+    counts = g.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt_raw"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("cnt_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("cnt_raw").alias("tot_raw"), F.sum("cnt_tgt").alias("tot_tgt")
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("cnt_tgt") + alpha) / (F.col("tot_tgt") + alpha * n_buckets))
+            - F.log((F.col("cnt_raw") + alpha) / (F.col("tot_raw") + alpha * n_buckets))
+        ).alias("log_ratio"),
+    )
+    scored = (
+        g.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.round(F.sum("log_ratio"), 6).alias("dsir_logw"),
+        )
+    )
+    return (
+        base.select("doc_id", "is_target")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_target",
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            "dsir_logw",
+        )
+    )

@@ -1285,6 +1285,139 @@ SELECT t.source, t.n_total, COALESCE(k.n_kept, 0) AS n_kept,
 FROM tot t LEFT JOIN k USING (source)
 """
 
+# exact twin of curation.pack_sequences(budget=512, n_subshards=4):
+# packing order key and subshard are the engine's md5 primitives; start
+# is the exclusive window cumsum; integer division (//) mirrors Spark's
+# DIV so the binning stays exact past 2^53 token streams
+SQL_PACK_SEQUENCES = r"""
+WITH d AS (
+  SELECT doc_id, lang AS shard,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+         CAST(CAST('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 15)
+           AS UBIGINT) AS BIGINT) AS okey
+  FROM documents
+),
+d2 AS (SELECT *, CAST(okey % 4 AS INTEGER) AS subshard FROM d),
+d3 AS (
+  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard, subshard ORDER BY okey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+  FROM d2
+)
+SELECT doc_id, shard, subshard, n_tokens,
+       CAST(start // 512 AS BIGINT) AS seq_index,
+       CAST(start % 512 AS BIGINT) AS offset_in_seq
+FROM d3
+"""
+
+# exact twin of curation.strip_common_chunks(chunk_tokens=10, min_docs=3)
+# over the augmented corpus; chunk hash = engine h_hex; clean_digest =
+# md5 of retained chunks in index order (string_agg skips NULLs — the
+# same semantics as Spark's null-skipping collect_list)
+SQL_STRIP_COMMON_CHUNKS = (
+    "WITH "
+    + _DOCS
+    + r""",
+tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM docs
+),
+ch AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS idx,
+         array_to_string(list_slice(t, (CAST(i AS INTEGER) - 1) * 10 + 1,
+                                       (CAST(i AS INTEGER) - 1) * 10 + 10), ' ') AS chunk
+  FROM tok, unnest(generate_series(1, greatest((len(t) + 9) // 10, 1))) AS u(i)
+),
+ch2 AS (SELECT *, substr(md5(chunk), 1, 15) AS chash FROM ch),
+f AS (
+  SELECT chash, count(DISTINCT doc_id) AS doc_freq FROM ch2 GROUP BY chash
+),
+fl AS (
+  SELECT ch2.doc_id, ch2.idx, ch2.chunk, f.doc_freq >= 3 AS common
+  FROM ch2 JOIN f USING (chash)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN common THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       round(sum(CASE WHEN common THEN 1 ELSE 0 END) /
+             CAST(count(*) AS DOUBLE), 6) AS common_frac,
+       md5(coalesce(string_agg(CASE WHEN NOT common THEN chunk END, ' '
+                               ORDER BY idx), '')) AS clean_digest
+FROM fl GROUP BY doc_id
+"""
+)
+
+# exact twin of curation.domain_cap(cap=100, domain=source): the keep
+# rate division is forced to DOUBLE (DuckDB's literal 100.0 would be
+# DECIMAL and could disagree with Spark's double in the low bits that
+# decide a draw's membership)
+SQL_DOMAIN_CAP = rf"""
+WITH tot AS (
+  SELECT lang AS domain, count(*) AS n_total FROM documents GROUP BY lang
+),
+rate AS (
+  SELECT domain, n_total,
+         least(CAST(1 AS DOUBLE), CAST(100 AS DOUBLE) / n_total) AS keep_rate
+  FROM tot
+),
+kept AS (
+  SELECT d.lang AS domain, count(*) AS n_kept
+  FROM documents d JOIN rate r ON d.lang = r.domain
+  WHERE {_DD_U60.format(salt="domcap", key="doc_id")} < r.keep_rate
+  GROUP BY d.lang
+)
+SELECT r.domain, r.n_total, round(r.keep_rate, 6) AS keep_rate,
+       coalesce(k.n_kept, 0) AS n_kept,
+       round(coalesce(k.n_kept, 0) / CAST(r.n_total AS DOUBLE), 6) AS realized_rate
+FROM rate r LEFT JOIN kept k USING (domain)
+"""
+
+# exact twin of textstats.dsir_weights(target = source='src0',
+# n_buckets=1024, alpha=0.5): bucket = engine h_long mod 1024; all
+# smoothing arithmetic forced to DOUBLE (Spark's literals are doubles);
+# ln-vs-Math.log agree within ulps absorbed by the 6-dp rounding (the
+# same discipline SQL_TEXT_LM_SCORE already proves out)
+SQL_DSIR_WEIGHTS = r"""
+WITH d AS (
+  SELECT doc_id, (source = 'src0') AS is_target,
+         regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, is_target, t[CAST(i AS INTEGER)] AS gram
+  FROM d, unnest(generate_series(1, len(t))) AS u(i)
+  UNION ALL
+  SELECT doc_id, is_target,
+         array_to_string(list_slice(t, CAST(i AS INTEGER),
+                                       CAST(i AS INTEGER) + 1), ' ') AS gram
+  FROM d, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+gb AS (
+  SELECT doc_id, is_target,
+         CAST(CAST(CAST('0x' || substr(md5(CAST(gram AS VARCHAR)), 1, 15)
+           AS UBIGINT) AS BIGINT) % 1024 AS INTEGER) AS bucket
+  FROM g
+),
+c AS (
+  SELECT bucket, count(*) AS cnt_raw,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS cnt_tgt
+  FROM gb GROUP BY bucket
+),
+tt AS (SELECT sum(cnt_raw) AS tot_raw, sum(cnt_tgt) AS tot_tgt FROM c),
+m AS (
+  SELECT bucket,
+         ln((cnt_tgt + CAST(0.5 AS DOUBLE)) / (tot_tgt + CAST(512 AS DOUBLE)))
+         - ln((cnt_raw + CAST(0.5 AS DOUBLE)) / (tot_raw + CAST(512 AS DOUBLE)))
+         AS log_ratio
+  FROM c, tt
+),
+sc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         round(sum(log_ratio), 6) AS dsir_logw
+  FROM gb JOIN m USING (bucket) GROUP BY doc_id
+)
+SELECT d.doc_id, d.is_target, coalesce(sc.n_feats, 0) AS n_feats, sc.dsir_logw
+FROM d LEFT JOIN sc USING (doc_id)
+"""
+
 SQL_EVENTS_FUNNEL = r"""
 WITH seq AS (
   SELECT user_id,
@@ -1598,6 +1731,10 @@ ORACLES = {
     "quality_gate": SQL_QUALITY_GATE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "mix_corpora": SQL_MIX_CORPORA,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "strip_common_chunks": SQL_STRIP_COMMON_CHUNKS,
+    "domain_cap": SQL_DOMAIN_CAP,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_neighbors": SQL_EVENTS_NEIGHBORS,

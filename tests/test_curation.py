@@ -170,3 +170,62 @@ def test_stratified_sample_deterministic_and_allowlisted(spark):
     assert rep["src1"]["n_kept"] == 0
     assert rep["src0"]["n_total"] == 200
     assert abs(rep["src0"]["realized_rate"] - rep["src0"]["n_kept"] / 200) < 1e-9
+
+
+def test_pack_sequences_layout(spark):
+    from character_identification_spark.operators.curation import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (10 + i)), "en") for i in range(8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = pack_sequences(docs, budget=32, n_subshards=1).collect()
+    assert len(out) == 8
+    # replay the packing order: start offsets are the exclusive cumsum
+    ordered = sorted(out, key=lambda r: (r["seq_index"] * 32 + r["offset_in_seq"]))
+    start = 0
+    for r in ordered:
+        assert r["seq_index"] == start // 32
+        assert r["offset_in_seq"] == start % 32
+        start += r["n_tokens"]
+    # determinism under repartitioning: identical layout
+    out2 = pack_sequences(docs.repartition(7), budget=32, n_subshards=1).collect()
+    assert {(r["doc_id"], r["seq_index"], r["offset_in_seq"]) for r in out} == {
+        (r["doc_id"], r["seq_index"], r["offset_in_seq"]) for r in out2
+    }
+
+
+def test_strip_common_chunks_flags_shared_prefix(spark):
+    import hashlib
+
+    from character_identification_spark.operators.curation import (
+        strip_common_chunks,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # one exact 10-token chunk
+    rows = [(d, boiler + " " + f"unique{d} tail{d}") for d in range(3)]
+    rows.append((9, "totally different content here"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in strip_common_chunks(docs, 10, 3).collect()}
+    for d in range(3):
+        assert out[d]["n_chunks"] == 2 and out[d]["n_common"] == 1
+        want = hashlib.md5(f"unique{d} tail{d}".encode()).hexdigest()
+        assert out[d]["clean_digest"] == want
+    # the singleton doc keeps everything
+    assert out[9]["n_common"] == 0
+    assert (
+        out[9]["clean_digest"]
+        == hashlib.md5(b"totally different content here").hexdigest()
+    )
+
+
+def test_domain_cap_rates(spark):
+    from character_identification_spark.operators.curation import domain_cap
+
+    rows = [(i, "big") for i in range(50)] + [(100 + i, "small") for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = {r["domain"]: r for r in domain_cap(docs, cap=10).collect()}
+    assert out["small"]["keep_rate"] == 1.0 and out["small"]["n_kept"] == 5
+    assert out["big"]["keep_rate"] == 0.2
+    assert 0 < out["big"]["n_kept"] < 50
+    # md5 draw ⇒ identical kept counts on a re-run over shuffled input
+    out2 = {r["domain"]: r for r in domain_cap(docs.repartition(9), cap=10).collect()}
+    assert out2["big"]["n_kept"] == out["big"]["n_kept"]

@@ -227,3 +227,26 @@ def test_lm_score_scoring_join_is_broadcast(spark):
     plan = plan_of(QUERIES["text_lm_score"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+@needs_data
+def test_dsir_scoring_join_is_broadcast(spark):
+    """dsir_weights' scoring join must broadcast the bucket model (exactly
+    n_buckets rows at any corpus size) — a shuffle join here would move
+    the whole exploded gram stream."""
+    from character_identification_spark.driver_contract import QUERIES
+
+    plan = plan_of(QUERIES["dsir_weights"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+@needs_data
+def test_pack_sequences_single_window_exchange(spark):
+    """pack_sequences must cost exactly one shuffle — the (shard,
+    subshard)-keyed window cumsum — and no global sort (the md5 packing
+    order is per-partition-key, never a range repartition)."""
+    from character_identification_spark.driver_contract import QUERIES
+
+    plan = plan_of(QUERIES["pack_sequences"](spark, SF), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan, plan

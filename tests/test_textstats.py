@@ -92,3 +92,28 @@ def test_lm_score_semantics(spark):
     assert out[1]["lm_score"] > out[3]["lm_score"]
     # sub-3-char doc: zero grams, NULL score (not a crash, not -inf)
     assert out[4]["n_grams"] == 0 and out[4]["lm_score"] is None
+
+
+def test_dsir_weights_direction(spark):
+    from pyspark.sql import functions as F
+
+    from character_identification_spark.operators.textstats import dsir_weights
+
+    rows = (
+        [(i, "alpha beta alpha beta alpha", "tgt") for i in range(5)]
+        + [(10 + i, "gamma delta gamma delta gamma", "raw") for i in range(5)]
+        + [(20, "alpha beta alpha", "raw"), (21, "gamma delta gamma", "raw")]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(
+            docs, target_pred=F.col("source") == "tgt", n_buckets=64, alpha=0.5
+        ).collect()
+    }
+    # 3 unigrams + 2 bigrams
+    assert out[20]["n_feats"] == 5
+    # the target-vocabulary doc must out-weight the raw-vocabulary doc
+    assert out[20]["dsir_logw"] > out[21]["dsir_logw"]
+    assert out[20]["dsir_logw"] > 0 > out[21]["dsir_logw"]
+    assert out[0]["is_target"] and not out[20]["is_target"]
