@@ -722,6 +722,41 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filter (curation.blocklist_filter, Raffel et
+    al. 2020's bad-words step): demo list {'slow','dup','spam'} — the
+    first two exist in the fixture vocabulary so both hit and miss
+    branches are pinned; the whole operator is one higher-order-filter
+    projection."""
+    from character_identification_spark.operators.curation import blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return blocklist_filter(docs, ("slow", "dup", "spam"))
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-round BPE merge candidates at corpus scale
+    (textstats.bpe_pair_counts, Sennrich et al. 2016): adjacent char
+    pairs weighted by word frequency, top-20 by (count desc, pair)."""
+    from character_identification_spark.operators.textstats import bpe_pair_counts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_pair_counts(docs, top_k=20)
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (textstats.winnow_fingerprint, Schleimer
+    et al. 2003 / MOSS): k=5 char grams, w=4 windows, min-hash per
+    window, distinct-set count + XOR digest — zero-shuffle projection,
+    md5-pure so the digest replays exactly in DuckDB."""
+    from character_identification_spark.operators.textstats import (
+        winnow_fingerprint,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_fingerprint(docs, k=5, w=4)
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: per user, did the event sequence contain
     view → click → purchase IN ORDER (with anything between)?
@@ -1291,6 +1326,9 @@ QUERIES = {
     "strip_common_chunks": q_strip_common_chunks,
     "domain_cap": q_domain_cap,
     "dsir_weights": q_dsir_weights,
+    "blocklist_filter": q_blocklist_filter,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "winnow_fingerprint": q_winnow_fingerprint,
     "events_sessions": q_events_sessions,
     "events_rollup": q_events_rollup,
     "events_neighbors": q_events_neighbors,

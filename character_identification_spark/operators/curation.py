@@ -454,3 +454,34 @@ def mixing_report(
             ).alias("realized_rate"),
         )
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocklist: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, n_blocked, blocked_frac, keep): C4-style blocklist
+    filtering (Raffel et al. 2020's "bad words" step — docs containing
+    any listed token are dropped from the training mix). Reports the
+    blocked-token count and fraction so policy thresholds other than
+    "any hit drops" can be applied downstream; ``keep`` is the strict
+    C4 rule (zero hits).
+
+    Pure projection over the token array (higher-order filter — the
+    list compiles into the plan as literals, codegen JVM-side, no UDF
+    and no join): fuses into the scan, so at 100 TB it runs at read
+    bandwidth like the other narrow curation tiers."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    bl = [w.lower() for w in blocklist]
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*bl)))
+    n = F.size(toks)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        hits.cast("long").alias("n_blocked"),
+        F.round(
+            F.when(n > 0, hits / n.cast("double")).otherwise(0.0), 6
+        ).alias("blocked_frac"),
+        (hits == 0).alias("keep"),
+    )

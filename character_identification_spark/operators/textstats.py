@@ -9,7 +9,7 @@ before dedup: cheap narrow projections that Catalyst fuses into the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword inventories for the n-gram/stopword-ratio
@@ -267,5 +267,118 @@ def dsir_weights(
             "is_target",
             F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
             "dsir_logw",
+        )
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (pair, n_occurrences, n_words): the first round of BPE merge
+    candidates at corpus scale — adjacent character-pair frequencies
+    weighted by word frequency (Sennrich et al. 2016's merge-selection
+    statistic; iterating merge+recount yields the full vocabulary, and
+    each round has exactly this dataflow). Top-``top_k`` pairs by
+    (count desc, pair asc) — a deterministic total order.
+
+    Scale shape: the token explode feeds a word-count aggregation whose
+    OUTPUT is vocabulary-bounded (≪ corpus size), the pair explode runs
+    over that vocabulary table, and the pair aggregation is bounded by
+    charset² — so after the first shuffle every stage works on
+    model-sized, not corpus-sized, data. The final top-k is a
+    TakeOrdered, not a global sort."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        "wf",
+        "word",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("wf").cast("long").alias("n_occurrences"),
+            F.count_distinct("word").cast("long").alias("n_words"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(top_k)
+    )
+
+
+def winnow_fingerprint(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, n_fingerprints, fp_digest): winnowing document
+    fingerprints (Schleimer et al. 2003, the MOSS algorithm): hash all
+    character ``k``-grams, slide a ``w``-hash window, select each
+    window's minimum — guaranteeing any shared substring of length
+    ≥ k+w−1 contributes a shared fingerprint, with ~2/(w+1) selection
+    density. The distinct selected hashes are reduced to a count and an
+    order-free XOR digest (ANSI-safe — sum would overflow).
+
+    Dataflow: posexplode of the gram-hash array (each md5 computed
+    exactly ONCE) → per-doc frame window min (ROWS current..w−1
+    following, auto-clipped at the partition end so fewer-than-w-gram
+    docs fall out as one window over everything) → distinct + XOR agg,
+    one doc-keyed shuffle — the duplicated_spans shape. The tempting
+    all-in-one-projection alternative (nested transform/slice/array_min
+    higher-order expressions) is ~100× slower: Catalyst inlines the
+    hash-array subexpression into every window element, recomputing
+    O(n²) md5s per document (measured 349 s vs 3.9 s on 500 sf0.01
+    docs). Docs shorter than k chars report (0, 0)."""
+    s = F.lower(F.trim(F.col(text_col)))
+    n_grams = F.length(s) - (k - 1)
+    hashes = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(
+                F.substring(F.md5(s.substr(i, F.lit(k))), 1, 15), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    g = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(hashes).alias("pos", "h")
+    )
+    fw = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    nw = Window.partitionBy("doc_id")
+    sel = (
+        g.withColumn("wmin", F.min("h").over(fw))
+        .withColumn("n", F.count(F.lit(1)).over(nw))
+        # window starts: pos 0 .. n-w (or just pos 0 when n < w)
+        .filter(F.col("pos") <= F.greatest(F.col("n") - w, F.lit(0)))
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    agg = sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.bit_xor("wmin").cast("long").alias("fp_digest"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
+            F.coalesce("fp_digest", F.lit(0)).alias("fp_digest"),
         )
     )

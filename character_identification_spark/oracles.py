@@ -1418,6 +1418,81 @@ SELECT d.doc_id, d.is_target, coalesce(sc.n_feats, 0) AS n_feats, sc.dsir_logw
 FROM d LEFT JOIN sc USING (doc_id)
 """
 
+# exact twin of curation.blocklist_filter(('slow','dup','spam'))
+SQL_BLOCKLIST_FILTER = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+h AS (
+  SELECT doc_id, CAST(len(toks) AS INTEGER) AS n,
+         CAST(len(list_filter(toks, x -> lower(x) IN ('slow', 'dup', 'spam')))
+              AS BIGINT) AS n_blocked
+  FROM t
+)
+SELECT doc_id, n_blocked,
+       round(CASE WHEN n > 0 THEN n_blocked / CAST(n AS DOUBLE) ELSE 0.0 END,
+             6) AS blocked_frac,
+       n_blocked = 0 AS keep
+FROM h
+"""
+
+# exact twin of textstats.bpe_pair_counts(top_k=20): word counts over
+# the corpus, char pairs per distinct word (len >= 2), weighted pair agg,
+# deterministic (count desc, pair asc) top-20
+SQL_BPE_PAIR_COUNTS = r"""
+WITH w AS (
+  SELECT word, count(*) AS wf FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+    FROM documents
+  ) GROUP BY word HAVING length(word) >= 2
+),
+p AS (
+  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, wf, word
+  FROM w, unnest(generate_series(1, length(word) - 1)) AS u(i)
+)
+SELECT pair, CAST(sum(wf) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_words
+FROM p GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC
+LIMIT 20
+"""
+
+# exact twin of textstats.winnow_fingerprint(k=5, w=4): gram hash =
+# engine h_long of each 5-char substring; per-window minima over 4-hash
+# windows; distinct set reduced by bit_xor (order-free, overflow-free)
+SQL_WINNOW_FINGERPRINT = r"""
+WITH t AS (
+  SELECT doc_id, lower(trim(text)) AS s FROM documents
+),
+hl AS (
+  SELECT doc_id,
+         CASE WHEN length(s) >= 5 THEN
+           list_transform(generate_series(1, length(s) - 4),
+             i -> CAST(CAST('0x' || substr(md5(substr(s, CAST(i AS INTEGER), 5)),
+               1, 15) AS UBIGINT) AS BIGINT))
+         ELSE CAST([] AS BIGINT[]) END AS hashes
+  FROM t
+),
+sl AS (
+  SELECT doc_id,
+         CASE WHEN len(hashes) >= 1 THEN
+           list_distinct(list_transform(
+             generate_series(1, greatest(len(hashes) - 3, 1)),
+             j -> list_min(list_slice(hashes, CAST(j AS INTEGER),
+                                              CAST(j AS INTEGER) + 3))))
+         ELSE CAST([] AS BIGINT[]) END AS sel
+  FROM hl
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+         CAST(bit_xor(x) AS BIGINT) AS fp_digest
+  FROM (SELECT doc_id, unnest(sel) AS x FROM sl) GROUP BY doc_id
+)
+SELECT sl.doc_id, coalesce(a.n_fingerprints, 0) AS n_fingerprints,
+       coalesce(a.fp_digest, 0) AS fp_digest
+FROM sl LEFT JOIN agg a USING (doc_id)
+"""
+
 SQL_EVENTS_FUNNEL = r"""
 WITH seq AS (
   SELECT user_id,
@@ -1735,6 +1810,9 @@ ORACLES = {
     "strip_common_chunks": SQL_STRIP_COMMON_CHUNKS,
     "domain_cap": SQL_DOMAIN_CAP,
     "dsir_weights": SQL_DSIR_WEIGHTS,
+    "blocklist_filter": SQL_BLOCKLIST_FILTER,
+    "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
+    "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_neighbors": SQL_EVENTS_NEIGHBORS,

@@ -229,3 +229,18 @@ def test_domain_cap_rates(spark):
     # md5 draw ⇒ identical kept counts on a re-run over shuffled input
     out2 = {r["domain"]: r for r in domain_cap(docs.repartition(9), cap=10).collect()}
     assert out2["big"]["n_kept"] == out["big"]["n_kept"]
+
+
+def test_blocklist_filter_hits(spark):
+    from character_identification_spark.operators.curation import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(1, "clean text here"), (2, "some SPAM and spam again"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in blocklist_filter(docs, ("spam",)).collect()}
+    assert out[1]["keep"] and out[1]["n_blocked"] == 0
+    # case-insensitive, counted with multiplicity
+    assert not out[2]["keep"] and out[2]["n_blocked"] == 2
+    assert out[2]["blocked_frac"] == 0.4
+    assert out[3]["n_blocked"] == 0 and out[3]["keep"]

@@ -117,3 +117,53 @@ def test_dsir_weights_direction(spark):
     assert out[20]["dsir_logw"] > out[21]["dsir_logw"]
     assert out[20]["dsir_logw"] > 0 > out[21]["dsir_logw"]
     assert out[0]["is_target"] and not out[20]["is_target"]
+
+
+def test_bpe_pair_counts_known_values(spark):
+    from character_identification_spark.operators.textstats import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab x")], ["doc_id", "text"]
+    )
+    out = {r["pair"]: r for r in bpe_pair_counts(docs, top_k=10).collect()}
+    # 'ab' occurs 2× in each of 3 'abab' occurrences = 6; in 1 word
+    assert out["ab"]["n_occurrences"] == 6 and out["ab"]["n_words"] == 1
+    assert out["ba"]["n_occurrences"] == 3
+    assert out["cd"]["n_occurrences"] == 1
+    # single-char words ('x') contribute nothing
+    assert "x" not in out
+    top = bpe_pair_counts(docs, top_k=1).collect()
+    assert top[0]["pair"] == "ab"
+
+
+def _py_winnow(text: str, k: int = 5, w: int = 4):
+    import hashlib
+
+    s = text.strip().lower()
+    hs = [
+        int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(len(s) - k + 1)
+    ]
+    if not hs:
+        return 0, 0
+    sel = {min(hs[j : j + w]) for j in range(max(len(hs) - w + 1, 1))}
+    dig = 0
+    for x in sel:
+        dig ^= x
+    return len(sel), dig
+
+
+def test_winnow_fingerprint_matches_reference_impl(spark):
+    from character_identification_spark.operators.textstats import winnow_fingerprint
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "abc"),                       # shorter than k → (0, 0)
+        (3, "aaaaaaaaaaa"),               # all-identical grams
+        (4, "tiny5"),                     # exactly one gram, fewer than w
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in winnow_fingerprint(docs, k=5, w=4).collect()}
+    for did, text in rows:
+        n, dig = _py_winnow(text)
+        assert (out[did]["n_fingerprints"], out[did]["fp_digest"]) == (n, dig), did
