@@ -223,14 +223,25 @@ def ann_topk(
     query_id_col: str = "query_id",
     n_planes: int = 6,
     n_tables: int = 2,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: n_tables independent sign-LSH bucketings (plane
     indices offset per table); candidates = bucket collisions in any table;
     exact cosine rerank. Recall rises with n_tables, candidate count falls
-    with n_planes — the standard multi-table LSH trade."""
+    with n_planes — the standard multi-table LSH trade.
+
+    ``multiprobe=True`` additionally probes, per table, every bucket at
+    Hamming distance 1 from the query's bucket (Lv et al. 2007's
+    multi-probe LSH, restricted to 1-bit perturbations): the QUERY side
+    fans out ×(n_planes+1) — the corpus index is untouched, so the
+    storage and build cost of extra tables is traded for a bounded probe
+    fan-out on the (always far smaller) query side. Measured recall@10
+    (BENCH.md, sf0.001/sf0.01): 2×6 rises 0.075→0.375 / 0.113→0.338;
+    2×4 reaches 0.738 / 0.662 — past IVF at nprobe=8 — making
+    multiprobe 2×4 the recommended sign-LSH operating point."""
     dimc = F.size(F.col(vec_col))
 
-    def _table_bucket(t):
+    def _table_bucket_int(t):
         # planes t*n_planes .. t*n_planes+n_planes-1
         v = F.col(vec_col)
         bits = []
@@ -251,17 +262,38 @@ def ann_topk(
         out = bits[0]
         for b in bits[1:]:
             out = out + b
-        return F.concat(F.lit(f"t{t}:"), out.cast("string"))
+        return out
 
-    def bucketed(df, idc):
+    def bucketed(df, idc, probe: bool = False):
         u = None
         for t in range(n_tables):
-            b = df.select(F.col(idc), F.col(vec_col), _table_bucket(t).alias("bucket"))
-            u = b if u is None else u.unionByName(b)
+            b = _table_bucket_int(t)
+            if probe:
+                # the bucket itself + every 1-bit flip, as one query-side
+                # explode — the corpus side stays single-bucket
+                variants = F.array(
+                    *[
+                        b.bitwiseXOR(F.lit(flip))
+                        for flip in [0] + [1 << f for f in range(n_planes)]
+                    ]
+                )
+                part = df.select(
+                    F.col(idc), F.col(vec_col), F.explode(variants).alias("_b")
+                )
+            else:
+                part = df.select(F.col(idc), F.col(vec_col), b.alias("_b"))
+            part = part.select(
+                idc,
+                vec_col,
+                F.concat(F.lit(f"t{t}:"), F.col("_b").cast("string")).alias("bucket"),
+            )
+            u = part if u is None else u.unionByName(part)
         return u
 
     qb = bucketed(
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col)), "query_id"
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col)),
+        "query_id",
+        probe=multiprobe,
     ).select("query_id", F.col(vec_col).alias("qv"), "bucket")
     cb = bucketed(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)), "neighbor_id"

@@ -1704,9 +1704,9 @@ FROM d
 )
 
 
-def _dd_table_bucket(t: int, n_planes: int = 6) -> str:
-    """DuckDB twin of similarity.ann_topk's per-table bucket string
-    ('t<t>:' + sign bits over planes t*n_planes .. t*n_planes+n_planes-1)."""
+def _dd_table_bucket_bits(t: int, n_planes: int = 6) -> str:
+    """DuckDB twin of similarity.ann_topk's per-table bucket INT (sign
+    bits over planes t*n_planes .. t*n_planes+n_planes-1)."""
     bits = []
     for p in range(n_planes):
         plane = t * n_planes + p
@@ -1719,7 +1719,12 @@ def _dd_table_bucket(t: int, n_planes: int = 6) -> str:
             f"i -> v[i] * (({h} / 576460752303423488.0) - 1.0)))"
         )
         bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
-    return f"'t{t}:' || CAST({' + '.join(bits)} AS VARCHAR)"
+    return "(" + " + ".join(bits) + ")"
+
+
+def _dd_table_bucket(t: int, n_planes: int = 6) -> str:
+    """Per-table bucket string: 't<t>:' + the sign-bit integer."""
+    return f"'t{t}:' || CAST({_dd_table_bucket_bits(t, n_planes)} AS VARCHAR)"
 
 
 # exact twin of ann_topk(k=10, n_planes=4, n_tables=2) — the measured-good
@@ -1739,6 +1744,49 @@ qb AS (
   SELECT vec_id AS query_id, {_dd_table_bucket(0, 4)} AS bucket FROM e WHERE vec_id < 8
   UNION ALL
   SELECT vec_id AS query_id, {_dd_table_bucket(1, 4)} AS bucket FROM e WHERE vec_id < 8
+),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM cb JOIN qb USING (bucket)
+  WHERE neighbor_id <> query_id
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(c.v, q.v) /
+           (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v)))
+           AS cos_sim
+  FROM cand JOIN e c ON cand.neighbor_id = c.vec_id
+            JOIN e q ON cand.query_id = q.vec_id
+)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+FROM s
+QUALIFY rank <= 10
+"""
+
+# exact twin of ann_topk(k=10, n_planes=4, n_tables=2, multiprobe=True):
+# the query side probes its bucket plus every 1-bit flip (xor with
+# 0,1,2,4,8) per table; the corpus side is the same single-bucket index
+# as similarity_ann
+SQL_SIMILARITY_ANN_MULTIPROBE = f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+cb AS (
+  SELECT vec_id AS neighbor_id, {_dd_table_bucket(0, 4)} AS bucket FROM e
+  UNION ALL
+  SELECT vec_id AS neighbor_id, {_dd_table_bucket(1, 4)} AS bucket FROM e
+),
+qb AS (
+  SELECT vec_id AS query_id,
+         't0:' || CAST(xor({_dd_table_bucket_bits(0, 4)}, f) AS VARCHAR) AS bucket
+  FROM e, (VALUES (0), (1), (2), (4), (8)) flips(f) WHERE vec_id < 8
+  UNION ALL
+  SELECT vec_id AS query_id,
+         't1:' || CAST(xor({_dd_table_bucket_bits(1, 4)}, f) AS VARCHAR) AS bucket
+  FROM e, (VALUES (0), (1), (2), (4), (8)) flips(f) WHERE vec_id < 8
 ),
 cand AS (
   SELECT DISTINCT query_id, neighbor_id
@@ -1789,6 +1837,7 @@ ORACLES = {
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "similarity_ann": SQL_SIMILARITY_ANN,
+    "similarity_ann_multiprobe": SQL_SIMILARITY_ANN_MULTIPROBE,
     "similarity_ivf": SQL_SIMILARITY_IVF,
     "similarity_lsh_buckets": SQL_SIMILARITY_LSH_BUCKETS,
     "eval_bcubed": SQL_EVAL_BCUBED,

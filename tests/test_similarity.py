@@ -146,9 +146,18 @@ def test_ann_recall_gates(spark):
     # sign-LSH: more tables / fewer planes raise recall (measured 0.188).
     # 2×4 is the round-4 CONTRACT default (q_similarity_ann) — its gate is
     # the binding one; 2×6 is the retained round-3 determinism fixture.
-    assert recall(ann_topk(e, q, k=10, n_planes=4, n_tables=2)) >= 0.17
+    base24 = recall(ann_topk(e, q, k=10, n_planes=4, n_tables=2))
+    assert base24 >= 0.17
     assert recall(ann_topk(e, q, k=10, n_planes=6, n_tables=4)) >= 0.17
     assert recall(ann_topk(e, q, k=10, n_planes=6, n_tables=2)) >= 0.06
+    # round-4 multi-probe (1-bit query-side perturbations): measured
+    # 0.738 sf0.001 / 0.662 sf0.01 at 2×4 — the best sign-LSH point,
+    # past IVF nprobe=8; must also dominate its unprobed base
+    mp24 = recall(ann_topk(e, q, k=10, n_planes=4, n_tables=2, multiprobe=True))
+    assert mp24 >= 0.60 and mp24 >= base24, (base24, mp24)
+    assert recall(
+        ann_topk(e, q, k=10, n_planes=6, n_tables=2, multiprobe=True)
+    ) >= 0.30
     # IVF: measured 0.338 / 0.500 / 0.650 across nprobe 2/4/8 — gate the
     # levels and the monotonicity of the quality knob
     r2 = recall(ivf_topk(e, q, k=10, n_centroids=16, nprobe=2))
