@@ -51,9 +51,11 @@ from character_identification_spark.operators.dedup import (
     embedding_dup_pairs,
     exact_dedup,
     minhash_dup_pairs,
+    semantic_dedup,
     simhash,
     simhash_dup_pairs,
 )
+from character_identification_spark.operators.search import bm25_search
 from character_identification_spark.operators.multimodal import (
     extract_media_features,
     frame_sample_plan,
@@ -739,6 +741,29 @@ def q_similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (dedup.semantic_dedup, Abbas et al.
+    2023): md5-exemplar codebook (16 centroids, literal-inlined →
+    zero-shuffle assignment), within-cluster cosine > 0.35 against any
+    lower-id cluster-mate → keep=false. The one shuffle is the
+    within-cluster self-join; the quadratic term is (N/n_centroids)² per
+    cluster — n_centroids scales with the corpus at 100 TB."""
+    e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
+    return semantic_dedup(e, n_centroids=16, tau=0.35)
+
+
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (search.bm25_search, Robertson & Zaragoza 2009,
+    Lucene idf): inverted-index-shaped relational plan — postings
+    filtered to the query terms right at the explode, map-side-combined
+    tf/df aggs, broadcast corpus constants, TakeOrderedAndProject
+    top-k (no global rank shuffle)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return bm25_search(docs, ["spark", "vector", "slow"], k=15)
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist filter (curation.blocklist_filter, Raffel et
     al. 2020's bad-words step): demo list {'slow','dup','spam'} — the
@@ -1344,6 +1369,8 @@ QUERIES = {
     "domain_cap": q_domain_cap,
     "dsir_weights": q_dsir_weights,
     "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
+    "dedup_semantic": q_dedup_semantic,
+    "search_bm25": q_search_bm25,
     "blocklist_filter": q_blocklist_filter,
     "bpe_pair_counts": q_bpe_pair_counts,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -526,3 +526,69 @@ def decontaminate(
         F.coalesce(F.col("n_hits") > 0, F.lit(False)).alias("contaminated"),
         F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    tau: float = 0.35,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the corpus with a coarse quantizer, compare vectors only WITHIN their
+    cluster, and drop any vector whose cluster has a lower-id member with
+    cosine similarity above ``tau`` — the deterministic analog of
+    SemDeDup's keep-one-per-similar-group rule (lowest id ≡ the fixed
+    representative; the paper keeps a random one).
+
+    → (vec_id, cid, keep)  — every input row, keep=false for semantic dups.
+
+    Dataflow (scale path): the codebook is the same md5-exemplar
+    construction as ivf_topk — n_centroids deterministic rows collected
+    once and inlined as LITERALS, so cluster assignment is a zero-shuffle
+    JVM projection (array_sort argmax over per-centroid cosine structs).
+    The only shuffle is the within-cluster self-join on cid. Per-cluster
+    cost is (N/n_centroids)² — at real scale n_centroids grows with the
+    corpus (SemDeDup uses ~100k clusters for LAION-scale) so the
+    quadratic term stays bounded; the all-pairs cross product never
+    happens. Everything is md5-pure → the DuckDB oracle replays the
+    identical codebook, assignment, and drop set value-for-value.
+    """
+    base = emb.select(F.col(id_col), F.col(vec_col))
+    cent_rows = (
+        base.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    arr = F.array(
+        *[
+            F.struct(
+                (-cosine_sim(
+                    vec_col, F.array(*[F.lit(x) for x in r[vec_col]])
+                )).alias("negs"),
+                F.lit(r[id_col]).alias("cid"),
+            )
+            for r in cent_rows
+        ]
+    )
+    assigned = base.select(
+        F.col(id_col), F.col(vec_col), F.element_at(F.array_sort(arr), 1)["cid"].alias("cid")
+    )
+    a = assigned.select("cid", F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"))
+    b = assigned.select("cid", F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"))
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("_idb") < F.col("_ida"))
+        .filter(cosine_sim("_va", "_vb") > tau)
+        .select(F.col("_ida").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("_drop", F.lit(True)), id_col, "left"
+        )
+        .select(
+            id_col, "cid", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")
+        )
+    )

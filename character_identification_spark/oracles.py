@@ -1808,6 +1808,75 @@ FROM s
 QUALIFY rank <= 10
 """
 
+# exact twin of dedup.semantic_dedup(n_centroids=16, tau=0.35): same
+# md5-exemplar codebook as similarity_ivf, nearest-centroid assignment,
+# drop any vector with a lower-id cluster-mate above tau
+SQL_DEDUP_SEMANTIC = r"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cid, v AS cvec FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cvec) /
+                      (sqrt(list_dot_product(e.v, e.v)) *
+                       sqrt(list_dot_product(c.cvec, c.cvec))) DESC, c.cid
+           ) AS crk
+    FROM e CROSS JOIN cents c
+  ) WHERE crk = 1
+),
+drops AS (
+  SELECT DISTINCT a.vec_id
+  FROM assign a JOIN assign b ON a.cid = b.cid AND b.vec_id < a.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        > 0.35
+)
+SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS keep
+FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
+"""
+
+# exact twin of search.bm25_search(["spark","vector","slow"], k=15,
+# k1=1.2, b=0.75): same [a-z0-9]+ tokenization, Lucene idf, rounded
+# score as the rank key
+SQL_SEARCH_BM25 = r"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+dl AS (SELECT doc_id, toks, len(toks) AS dl FROM base),
+consts AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+postings AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, dl, unnest(toks) AS term FROM dl
+  ) WHERE term IN ('spark', 'vector', 'slow')
+  GROUP BY doc_id, dl, term
+),
+df_stats AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         CAST(count(*) AS INTEGER) AS n_terms_hit,
+         round(sum(
+           ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (p.tf * 2.2)
+           / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / c.avgdl))
+         ), 6) AS score
+  FROM postings p JOIN df_stats d USING (term), consts c
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_terms_hit, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 15
+"""
+
 ORACLES = {
     "er_mentions": SQL_ER_MENTIONS,
     "er_blocking_sortkey": SQL_ER_BLOCKING_SORTKEY,
@@ -1838,6 +1907,8 @@ ORACLES = {
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "similarity_ann": SQL_SIMILARITY_ANN,
     "similarity_ann_multiprobe": SQL_SIMILARITY_ANN_MULTIPROBE,
+    "dedup_semantic": SQL_DEDUP_SEMANTIC,
+    "search_bm25": SQL_SEARCH_BM25,
     "similarity_ivf": SQL_SIMILARITY_IVF,
     "similarity_lsh_buckets": SQL_SIMILARITY_LSH_BUCKETS,
     "eval_bcubed": SQL_EVAL_BCUBED,

@@ -210,3 +210,28 @@ def test_decontaminate_flags_probe_overlap(spark):
     # the shuffle breaks every 4-window except the q5..q9 tail run
     assert out[3]["contaminated"] and out[3]["n_hits"] <= 2
     assert not out[4]["contaminated"]
+
+
+def test_semantic_dedup(spark):
+    """Keep/drop law: a vector is dropped iff a LOWER-id member of its
+    cluster exceeds tau; orthogonal vectors all survive."""
+    from character_identification_spark.operators.dedup import semantic_dedup
+
+    # 3 near-identical vectors (ids 0,1,2) + 2 orthogonal ones
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.14, 0.0, 0.0]),   # cos ≈ 0.99 with id 0
+        (2, [0.97, 0.0, 0.24, 0.0]),   # cos ≈ 0.97 with id 0
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(e, n_centroids=2, tau=0.9).collect()}
+    assert len(out) == 5  # every input row appears
+    assert out[0]["keep"]            # lowest id of its similar group
+    # 1 and 2 land with 0 iff they share its cluster; when they do, drop
+    for vid in (1, 2):
+        same_cluster = out[vid]["cid"] == out[0]["cid"]
+        assert out[vid]["keep"] == (not same_cluster)
+    assert out[3]["keep"] and out[4]["keep"]  # orthogonal → no dominator

@@ -87,6 +87,7 @@ def test_ann_topk_recall(spark, emb):
             assert r["cos_sim"] == pytest.approx(by_pair[key], abs=1e-6)
 
 
+@needs_data
 def test_ivf_topk_recall_and_shape(spark):
     """IVF probes a subset of lists; results are a subset of the exact
     ranking universe with decent recall@10 on clustered data."""
