@@ -41,6 +41,7 @@ from character_identification_spark.operators.cc import (
     connected_components,
 )
 from character_identification_spark.operators.curation import (
+    chunk_documents,
     keep_best_per_cluster,
     pii_scrub,
     repetition_stats,
@@ -70,6 +71,7 @@ from character_identification_spark.operators.similarity import (
 )
 from character_identification_spark.operators.textstats import (
     bpe_ish_token_count,
+    bpe_learn_merges,
     fingerprint,
     language_id,
     text_stats,
@@ -764,6 +766,28 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(docs, ["spark", "vector", "slow"], k=15)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (curation.chunk_documents): 32-token
+    windows, 8-token overlap — shuffle-free projection+explode fused
+    into the scan; ~n/24 chunks per doc."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE training (textstats.bpe_learn_merges, Sennrich et
+    al. 2016): 4 merge rounds — one corpus shuffle (word counts), then
+    vocabulary-sized iterate/merge/recount with a 1-row argmax collect
+    per round; the greedy merge fold is replayed exactly by the DuckDB
+    list_reduce twin."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return bpe_learn_merges(docs, n_merges=4)
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist filter (curation.blocklist_filter, Raffel et
     al. 2020's bad-words step): demo list {'slow','dup','spam'} — the
@@ -1371,6 +1395,8 @@ QUERIES = {
     "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
     "dedup_semantic": q_dedup_semantic,
     "search_bm25": q_search_bm25,
+    "chunk_documents": q_chunk_documents,
+    "bpe_learn_merges": q_bpe_learn_merges,
     "blocklist_filter": q_blocklist_filter,
     "bpe_pair_counts": q_bpe_pair_counts,
     "winnow_fingerprint": q_winnow_fingerprint,

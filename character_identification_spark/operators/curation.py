@@ -485,3 +485,44 @@ def blocklist_filter(
         ).alias("blocked_frac"),
         (hits == 0).alias("keep"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, chunk_id, n_tokens, chunk_text): sliding-window document
+    chunking — the context-length shaping step between curation and
+    packing (a doc longer than the model context is split into
+    ``chunk_tokens``-token windows advancing by ``chunk_tokens −
+    overlap``; the trailing chunk keeps whatever remains).
+
+    Pure per-row projection + bounded explode (⌈n/stride⌉ chunks per
+    doc): no shuffle at all — Catalyst fuses it into the scan, and the
+    fan-out is proportional to output size, the floor for any chunker.
+    chunk_id = start/stride, so ids are dense per doc and independent of
+    partitioning.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n")
+    ).select(
+        id_col,
+        "_t",
+        F.explode(
+            F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+        ).alias("_start"),
+    )
+    chunk = F.slice(F.col("_t"), F.col("_start") + 1, chunk_tokens)
+    return base.select(
+        id_col,
+        (F.col("_start") / stride).cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -382,3 +382,97 @@ def winnow_fingerprint(
             F.coalesce("fp_digest", F.lit(0)).alias("fp_digest"),
         )
     )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (step, left_sym, right_sym, merged, n_occurrences): the first
+    ``n_merges`` BPE merge rules learned from the corpus (Sennrich et al.
+    2016) — the full iterate-merge-recount loop, not just the first
+    round's pair table (bpe_pair_counts).
+
+    Scale shape: ONE corpus-sized shuffle (the word-frequency agg); every
+    later stage — symbol split, pair explode, merge application — runs
+    over the VOCABULARY table (≪ corpus), exactly how production BPE
+    trainers work. The per-iteration argmax is a 1-row TakeOrdered
+    collect (model-sized driver traffic, like the IVF codebook); the
+    merge itself is a sequential left-to-right fold per word via
+    F.aggregate — greedy BPE application, replayed symbol-for-symbol by
+    the DuckDB oracle's list_reduce twin.
+
+    Every tie is broken (count desc, pair asc), so the learned merge
+    table is a pure function of the corpus.
+    """
+    spark = docs.sparkSession
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .filter(F.length("word") >= 2)
+    )
+    syms = words.select(
+        "wf",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ).alias("syms"),
+    ).localCheckpoint()
+
+    out = []
+    for step in range(1, n_merges + 1):
+        # adjacent pairs via zip_with of the array against its own tail —
+        # empty for 1-symbol words (slice length 0), no descending-
+        # sequence pitfall
+        s = F.col("syms")
+        pairs_col = F.zip_with(
+            F.slice(s, 1, F.size(s) - 1),
+            F.slice(s, 2, F.size(s) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        top = (
+            syms.select("wf", F.explode(pairs_col).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("wf").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["pair"].split(" ")
+        merged = left + right
+        out.append((step, left, right, merged, top[0]["n"]))
+        # greedy left-to-right merge: sequential fold, replace-last when
+        # (last(acc), x) == (left, right); try_element_at for the empty
+        # accumulator under ANSI. Closure factory, NOT default args — a
+        # >2-param lambda breaks pyspark's HOF arity inspection.
+        def _merge_fold(l: str, r: str, m: str):
+            def fn(acc, x):
+                return F.when(
+                    (F.try_element_at(acc, F.lit(-1)) == F.lit(l))
+                    & (x == F.lit(r)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(m))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x)))
+
+            return fn
+
+        syms = syms.select(
+            "wf",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                _merge_fold(left, right, merged),
+            ).alias("syms"),
+        ).localCheckpoint()
+
+    return spark.createDataFrame(
+        out,
+        "step int, left_sym string, right_sym string, merged string, n_occurrences long",
+    )

@@ -1877,6 +1877,69 @@ FROM scored
 QUALIFY rank <= 15
 """
 
+# exact twin of curation.chunk_documents(chunk_tokens=32, overlap=8):
+# stride-24 sliding windows over whitespace tokens
+SQL_CHUNK_DOCUMENTS = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+)
+SELECT doc_id,
+       CAST(start / 24 AS INTEGER) AS chunk_id,
+       CAST(len(list_slice(t, CAST(start AS INTEGER) + 1,
+                           CAST(start AS INTEGER) + 32)) AS INTEGER) AS n_tokens,
+       array_to_string(list_slice(t, CAST(start AS INTEGER) + 1,
+                                  CAST(start AS INTEGER) + 32), ' ') AS chunk_text
+FROM d, unnest(generate_series(0, len(t) - 1, 24)) AS u(start)
+"""
+
+
+def _bpe_merge_sql(n_merges: int = 4) -> str:
+    """Twin of textstats.bpe_learn_merges: n_merges unrolled rounds of
+    pair-count → (count desc, pair asc) argmax → greedy left-to-right
+    merge via list_reduce (the sequential fold matching F.aggregate)."""
+    ctes = [
+        r"""words AS (
+  SELECT word, count(*) AS wf FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents
+  ) GROUP BY word HAVING length(word) >= 2
+),
+s0 AS (
+  SELECT wf, list_transform(generate_series(1, length(word)),
+                            i -> substr(word, CAST(i AS INTEGER), 1)) AS syms
+  FROM words
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"""c{k} AS (
+  SELECT pair, sum(wf) AS n FROM (
+    SELECT wf, unnest(list_transform(generate_series(1, len(syms) - 1),
+      i -> syms[CAST(i AS INTEGER)] || ' ' || syms[CAST(i AS INTEGER) + 1])) AS pair
+    FROM s{k - 1} WHERE len(syms) >= 2
+  ) GROUP BY pair
+),
+m{k} AS (
+  SELECT n, str_split(pair, ' ')[1] AS l, str_split(pair, ' ')[2] AS r
+  FROM c{k} ORDER BY n DESC, pair LIMIT 1
+),
+s{k} AS (
+  SELECT wf, list_reduce(list_transform(syms, s -> [s]),
+    (acc, x) -> CASE WHEN acc[len(acc)] = m.l AND x[1] = m.r
+        THEN list_concat(acc[1:len(acc) - 1], [acc[len(acc)] || x[1]])
+        ELSE list_concat(acc, x) END) AS syms
+  FROM s{k - 1}, m{k} m
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, l AS left_sym, r AS right_sym, l || r AS merged,"
+        f" CAST(n AS BIGINT) AS n_occurrences FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+SQL_BPE_LEARN_MERGES = _bpe_merge_sql(4)
+
 ORACLES = {
     "er_mentions": SQL_ER_MENTIONS,
     "er_blocking_sortkey": SQL_ER_BLOCKING_SORTKEY,
@@ -1909,6 +1972,8 @@ ORACLES = {
     "similarity_ann_multiprobe": SQL_SIMILARITY_ANN_MULTIPROBE,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "search_bm25": SQL_SEARCH_BM25,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "bpe_learn_merges": SQL_BPE_LEARN_MERGES,
     "similarity_ivf": SQL_SIMILARITY_IVF,
     "similarity_lsh_buckets": SQL_SIMILARITY_LSH_BUCKETS,
     "eval_bcubed": SQL_EVAL_BCUBED,

@@ -167,3 +167,54 @@ def test_winnow_fingerprint_matches_reference_impl(spark):
     for did, text in rows:
         n, dig = _py_winnow(text)
         assert (out[did]["n_fingerprints"], out[did]["fp_digest"]) == (n, dig), did
+
+
+def test_bpe_learn_merges_known_sequence(spark):
+    """Hand-traceable corpus ('aaab' ×3, 'aab' ×2): assert the full
+    3-round merge table against a manual replay of the Sennrich loop —
+    pair counts are per-occurrence ('aaab' counts aa twice), merges
+    apply greedily left-to-right, ties break (count desc, pair asc)."""
+    from character_identification_spark.operators.textstats import bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab aab"), (1, "aaab aab")], "doc_id long, text string"
+    )
+    rows = bpe_learn_merges(docs, n_merges=3).collect()
+    got = [(r["step"], r["left_sym"], r["right_sym"], r["merged"],
+            r["n_occurrences"]) for r in rows]
+
+    # manual replay: vocab {aaab: 3, aab: 2}
+    # r1 pairs: aaab→[aa,aa,ab]·3, aab→[aa,ab]·2 ⇒ aa=3·2+2=8, ab=5 → merge (a,a)
+    # apply greedy: aaab→[aa,a,b], aab→[aa,b]
+    # r2 pairs: (aa,a)=3, (a,b)=3, (aa,b)=2 ⇒ tie 3: 'a b' < 'aa a' → merge (a,b)
+    # apply: aaab→[aa,ab], aab→[aa,b]
+    # r3 pairs: (aa,ab)=3, (aa,b)=2 → merge (aa,ab)
+    assert got == [
+        (1, "a", "a", "aa", 8),
+        (2, "a", "b", "ab", 3),
+        (3, "aa", "ab", "aaab", 3),
+    ]
+
+
+def test_chunk_documents_windows(spark):
+    from character_identification_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, "t0 t1 t2 t3 t4 t5 t6"), (1, "short doc")],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        ((r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+         for r in chunk_documents(docs, chunk_tokens=4, overlap=2).collect())
+    )
+    # doc 0: stride 2 → starts 0,2,4,6: windows of ≤4 tokens
+    assert out == [
+        (0, 0, 4, "t0 t1 t2 t3"),
+        (0, 1, 4, "t2 t3 t4 t5"),
+        (0, 2, 3, "t4 t5 t6"),
+        (0, 3, 1, "t6"),
+        (1, 0, 2, "short doc"),
+    ]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
