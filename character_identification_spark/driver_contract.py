@@ -68,6 +68,7 @@ from character_identification_spark.operators.similarity import (
     ann_topk,
     cosine_topk,
     ivf_topk,
+    knn_graph,
 )
 from character_identification_spark.operators.textstats import (
     bpe_ish_token_count,
@@ -788,6 +789,20 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn_merges(docs, n_merges=4)
 
 
+def q_similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate kNN graph (similarity.knn_graph): every
+    vector queries the multiprobe 2×4 sign-LSH index with
+    broadcast_queries=False — the bucket join is a SHUFFLE join keyed on
+    bucket (both sides partition by bucket, nothing corpus-sized is
+    broadcast), which is the formulation that survives a corpus-sized
+    query set at 100 TB."""
+    e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
+    out = knn_graph(e, k=5, n_planes=4, n_tables=2, multiprobe=True)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist filter (curation.blocklist_filter, Raffel et
     al. 2020's bad-words step): demo list {'slow','dup','spam'} — the
@@ -1397,6 +1412,7 @@ QUERIES = {
     "search_bm25": q_search_bm25,
     "chunk_documents": q_chunk_documents,
     "bpe_learn_merges": q_bpe_learn_merges,
+    "similarity_knn_graph": q_similarity_knn_graph,
     "blocklist_filter": q_blocklist_filter,
     "bpe_pair_counts": q_bpe_pair_counts,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -1877,6 +1877,47 @@ FROM scored
 QUALIFY rank <= 15
 """
 
+# exact twin of knn_graph(k=5, n_planes=4, n_tables=2, multiprobe=True):
+# the multiprobe query side IS the whole corpus (no vec_id filter)
+SQL_SIMILARITY_KNN_GRAPH = f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+cb AS (
+  SELECT vec_id AS neighbor_id, {_dd_table_bucket(0, 4)} AS bucket FROM e
+  UNION ALL
+  SELECT vec_id AS neighbor_id, {_dd_table_bucket(1, 4)} AS bucket FROM e
+),
+qb AS (
+  SELECT vec_id AS query_id,
+         't0:' || CAST(xor({_dd_table_bucket_bits(0, 4)}, f) AS VARCHAR) AS bucket
+  FROM e, (VALUES (0), (1), (2), (4), (8)) flips(f)
+  UNION ALL
+  SELECT vec_id AS query_id,
+         't1:' || CAST(xor({_dd_table_bucket_bits(1, 4)}, f) AS VARCHAR) AS bucket
+  FROM e, (VALUES (0), (1), (2), (4), (8)) flips(f)
+),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM cb JOIN qb USING (bucket)
+  WHERE neighbor_id <> query_id
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(c.v, q.v) /
+           (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v)))
+           AS cos_sim
+  FROM cand JOIN e c ON cand.neighbor_id = c.vec_id
+            JOIN e q ON cand.query_id = q.vec_id
+)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+FROM s
+QUALIFY rank <= 5
+"""
+
 # exact twin of curation.chunk_documents(chunk_tokens=32, overlap=8):
 # stride-24 sliding windows over whitespace tokens
 SQL_CHUNK_DOCUMENTS = r"""
@@ -1974,6 +2015,7 @@ ORACLES = {
     "search_bm25": SQL_SEARCH_BM25,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "bpe_learn_merges": SQL_BPE_LEARN_MERGES,
+    "similarity_knn_graph": SQL_SIMILARITY_KNN_GRAPH,
     "similarity_ivf": SQL_SIMILARITY_IVF,
     "similarity_lsh_buckets": SQL_SIMILARITY_LSH_BUCKETS,
     "eval_bcubed": SQL_EVAL_BCUBED,

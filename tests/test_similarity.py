@@ -167,3 +167,33 @@ def test_ann_recall_gates(spark):
     assert r4 >= 0.45 and r8 >= 0.60, (r2, r4, r8)
     assert r2 <= r4 <= r8, (r2, r4, r8)
     e.unpersist()
+
+
+@needs_data
+def test_knn_graph_shape_and_no_query_broadcast(spark):
+    """Every vector gets ≤ k ranked neighbors, the graph contains no
+    self-edges, and the corpus-as-queries side carries NO forced
+    broadcast hint — join strategy is left to AQE (which may still pick
+    broadcast at this tiny scale, but a corpus-sized query set will get
+    a shuffle join; a hard hint would pin the driver-overflow plan)."""
+    from character_identification_spark.operators.similarity import ann_topk, knn_graph
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    g = knn_graph(e, k=5)
+    assert "ResolvedHint" not in g._jdf.queryExecution().optimizedPlan().toString()
+    # sanity: the point-lookup default DOES hint broadcast
+    q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    hinted = ann_topk(e, q, k=3, n_planes=4, n_tables=2)
+    assert "broadcast" in hinted._jdf.queryExecution().analyzed().toString()
+    rows = g.collect()
+    assert rows
+    per = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        per.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
