@@ -73,6 +73,7 @@ from character_identification_spark.operators.similarity import (
 from character_identification_spark.operators.textstats import (
     bpe_ish_token_count,
     bpe_learn_merges,
+    bpe_segment_counts,
     fingerprint,
     language_id,
     text_stats,
@@ -789,6 +790,17 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn_merges(docs, n_merges=4)
 
 
+def q_bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION (textstats.bpe_segment_counts): the learned
+    4-merge BPE vocabulary segments every doc — merges fold once per
+    DISTINCT word (vocab table), the corpus only joins words to the
+    (word → n_subwords) map; AQE picks the join strategy."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return bpe_segment_counts(docs, n_merges=4)
+
+
 def q_similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide approximate kNN graph (similarity.knn_graph): every
     vector queries the multiprobe 2×4 sign-LSH index with
@@ -1413,6 +1425,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "bpe_learn_merges": q_bpe_learn_merges,
     "similarity_knn_graph": q_similarity_knn_graph,
+    "bpe_segment_counts": q_bpe_segment_counts,
     "blocklist_filter": q_blocklist_filter,
     "bpe_pair_counts": q_bpe_pair_counts,
     "winnow_fingerprint": q_winnow_fingerprint,

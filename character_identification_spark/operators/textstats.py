@@ -384,30 +384,22 @@ def winnow_fingerprint(
     )
 
 
-def bpe_learn_merges(
+def _bpe_train(
     docs: DataFrame,
-    n_merges: int = 4,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """→ (step, left_sym, right_sym, merged, n_occurrences): the first
-    ``n_merges`` BPE merge rules learned from the corpus (Sennrich et al.
-    2016) — the full iterate-merge-recount loop, not just the first
-    round's pair table (bpe_pair_counts).
+    n_merges: int,
+    text_col: str,
+) -> tuple[DataFrame, list[tuple]]:
+    """Shared BPE training core: → (final per-word segmentation DataFrame
+    (word, wf, syms), merge rows [(step, left, right, merged, n)]).
 
-    Scale shape: ONE corpus-sized shuffle (the word-frequency agg); every
-    later stage — symbol split, pair explode, merge application — runs
-    over the VOCABULARY table (≪ corpus), exactly how production BPE
-    trainers work. The per-iteration argmax is a 1-row TakeOrdered
-    collect (model-sized driver traffic, like the IVF codebook); the
-    merge itself is a sequential left-to-right fold per word via
-    F.aggregate — greedy BPE application, replayed symbol-for-symbol by
-    the DuckDB oracle's list_reduce twin.
-
-    Every tie is broken (count desc, pair asc), so the learned merge
-    table is a pure function of the corpus.
-    """
-    spark = docs.sparkSession
+    ONE corpus-sized shuffle (the word-frequency agg); every later stage
+    — symbol split, pair explode, merge application — runs over the
+    VOCABULARY table (≪ corpus), exactly how production BPE trainers
+    work. The per-iteration argmax is a 1-row TakeOrdered collect
+    (model-sized driver traffic, like the IVF codebook); the merge
+    itself is a sequential left-to-right fold per word via F.aggregate —
+    greedy BPE application, replayed symbol-for-symbol by the DuckDB
+    oracle's list_reduce twin."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     words = (
         docs.select(F.explode(toks).alias("word"))
@@ -416,6 +408,7 @@ def bpe_learn_merges(
         .filter(F.length("word") >= 2)
     )
     syms = words.select(
+        "word",
         "wf",
         F.transform(
             F.sequence(F.lit(1), F.length("word")),
@@ -464,6 +457,7 @@ def bpe_learn_merges(
             return fn
 
         syms = syms.select(
+            "word",
             "wf",
             F.aggregate(
                 "syms",
@@ -471,8 +465,57 @@ def bpe_learn_merges(
                 _merge_fold(left, right, merged),
             ).alias("syms"),
         ).localCheckpoint()
+    return syms, out
 
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (step, left_sym, right_sym, merged, n_occurrences): the first
+    ``n_merges`` BPE merge rules learned from the corpus (Sennrich et al.
+    2016) — the full iterate-merge-recount loop, not just the first
+    round's pair table (bpe_pair_counts). See _bpe_train for the scale
+    shape; every tie is broken (count desc, pair asc), so the learned
+    merge table is a pure function of the corpus."""
+    spark = docs.sparkSession
+    _, out = _bpe_train(docs, n_merges, text_col)
     return spark.createDataFrame(
         out,
         "step int, left_sym string, right_sym string, merged string, n_occurrences long",
+    )
+
+
+def bpe_segment_counts(
+    docs: DataFrame,
+    n_merges: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, n_words, n_subwords): APPLY the learned BPE tokenizer —
+    the train→tokenize round trip, giving every document its true
+    subword-token count under the n_merges-rule vocabulary.
+
+    The scale-correct application: merges are applied ONCE per distinct
+    word (the vocabulary table _bpe_train already folded), never per
+    corpus occurrence — the corpus only joins its words against the
+    vocab's (word → n_subwords) map. Words shorter than 2 chars are
+    excluded from training by construction and count as 1 subword. The
+    vocab join is left to AQE (broadcast at web scale iff the vocab
+    fits; no forced hint)."""
+    seg, _ = _bpe_train(docs, n_merges, text_col)
+    vocab = seg.select("word", F.size("syms").alias("n_sub"))
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    occurrences = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("word")
+    )
+    return (
+        occurrences.join(vocab, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.coalesce("n_sub", F.lit(1))).cast("long").alias("n_subwords"),
+        )
     )

@@ -1934,10 +1934,11 @@ FROM d, unnest(generate_series(0, len(t) - 1, 24)) AS u(start)
 """
 
 
-def _bpe_merge_sql(n_merges: int = 4) -> str:
-    """Twin of textstats.bpe_learn_merges: n_merges unrolled rounds of
+def _bpe_ctes(n_merges: int) -> str:
+    """Shared CTE chain for the BPE twins: n_merges unrolled rounds of
     pair-count → (count desc, pair asc) argmax → greedy left-to-right
-    merge via list_reduce (the sequential fold matching F.aggregate)."""
+    merge via list_reduce (the sequential fold matching F.aggregate).
+    Each s{k} carries (word, wf, syms)."""
     ctes = [
         r"""words AS (
   SELECT word, count(*) AS wf FROM (
@@ -1945,8 +1946,8 @@ def _bpe_merge_sql(n_merges: int = 4) -> str:
   ) GROUP BY word HAVING length(word) >= 2
 ),
 s0 AS (
-  SELECT wf, list_transform(generate_series(1, length(word)),
-                            i -> substr(word, CAST(i AS INTEGER), 1)) AS syms
+  SELECT word, wf, list_transform(generate_series(1, length(word)),
+                                  i -> substr(word, CAST(i AS INTEGER), 1)) AS syms
   FROM words
 )"""
     ]
@@ -1964,22 +1965,46 @@ m{k} AS (
   FROM c{k} ORDER BY n DESC, pair LIMIT 1
 ),
 s{k} AS (
-  SELECT wf, list_reduce(list_transform(syms, s -> [s]),
+  SELECT word, wf, list_reduce(list_transform(syms, s -> [s]),
     (acc, x) -> CASE WHEN acc[len(acc)] = m.l AND x[1] = m.r
         THEN list_concat(acc[1:len(acc) - 1], [acc[len(acc)] || x[1]])
         ELSE list_concat(acc, x) END) AS syms
   FROM s{k - 1}, m{k} m
 )"""
         )
+    return "WITH " + ",\n".join(ctes)
+
+
+def _bpe_merge_sql(n_merges: int = 4) -> str:
+    """Twin of textstats.bpe_learn_merges: the learned merge table."""
     selects = "\nUNION ALL\n".join(
         f"SELECT {k} AS step, l AS left_sym, r AS right_sym, l || r AS merged,"
         f" CAST(n AS BIGINT) AS n_occurrences FROM m{k}"
         for k in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + selects
+    return _bpe_ctes(n_merges) + "\n" + selects
+
+
+def _bpe_segment_sql(n_merges: int = 4) -> str:
+    """Twin of textstats.bpe_segment_counts: per-doc subword totals
+    under the learned vocabulary (unseen/short words = 1 subword)."""
+    return (
+        _bpe_ctes(n_merges)
+        + f""",
+occ AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+)
+SELECT occ.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(coalesce(len(v.syms), 1)) AS BIGINT) AS n_subwords
+FROM occ LEFT JOIN s{n_merges} v USING (word)
+GROUP BY occ.doc_id"""
+    )
 
 
 SQL_BPE_LEARN_MERGES = _bpe_merge_sql(4)
+SQL_BPE_SEGMENT_COUNTS = _bpe_segment_sql(4)
 
 ORACLES = {
     "er_mentions": SQL_ER_MENTIONS,
@@ -2016,6 +2041,7 @@ ORACLES = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "bpe_learn_merges": SQL_BPE_LEARN_MERGES,
     "similarity_knn_graph": SQL_SIMILARITY_KNN_GRAPH,
+    "bpe_segment_counts": SQL_BPE_SEGMENT_COUNTS,
     "similarity_ivf": SQL_SIMILARITY_IVF,
     "similarity_lsh_buckets": SQL_SIMILARITY_LSH_BUCKETS,
     "eval_bcubed": SQL_EVAL_BCUBED,

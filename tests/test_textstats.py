@@ -218,3 +218,16 @@ def test_chunk_documents_windows(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_bpe_segment_counts_roundtrip(spark):
+    """After merging (a,a), (a,b), (aa,ab): 'aaab'→1 subword, 'aab'→
+    [aa,b]→2, single chars→1; n_words = raw whitespace tokens."""
+    from character_identification_spark.operators.textstats import bpe_segment_counts
+
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab aab"), (1, "aaab aab c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bpe_segment_counts(docs, n_merges=3).collect()}
+    assert (out[0]["n_words"], out[0]["n_subwords"]) == (3, 1 + 1 + 2)
+    assert (out[1]["n_words"], out[1]["n_subwords"]) == (3, 1 + 2 + 1)
