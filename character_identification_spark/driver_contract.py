@@ -815,6 +815,22 @@ def q_similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (graph.pagerank, 3 fixed synchronous rounds, d=0.85)
+    over the approximate kNN graph's edges — the Pregel dataflow
+    relationally: one dst-keyed map-side-combined shuffle per round,
+    node-sized rank table, localCheckpoint between rounds. Fixed
+    iteration count keeps the result a pure function of the edge set,
+    replayed by the oracle's unrolled-CTE twin."""
+    from character_identification_spark.operators.graph import pagerank
+
+    e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
+    edges = knn_graph(e, k=5, n_planes=4, n_tables=2, multiprobe=True).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return pagerank(edges, n_iters=3, damping=0.85)
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist filter (curation.blocklist_filter, Raffel et
     al. 2020's bad-words step): demo list {'slow','dup','spam'} — the
@@ -1426,6 +1442,7 @@ QUERIES = {
     "bpe_learn_merges": q_bpe_learn_merges,
     "similarity_knn_graph": q_similarity_knn_graph,
     "bpe_segment_counts": q_bpe_segment_counts,
+    "graph_pagerank": q_graph_pagerank,
     "blocklist_filter": q_blocklist_filter,
     "bpe_pair_counts": q_bpe_pair_counts,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -2006,6 +2006,44 @@ GROUP BY occ.doc_id"""
 SQL_BPE_LEARN_MERGES = _bpe_merge_sql(4)
 SQL_BPE_SEGMENT_COUNTS = _bpe_segment_sql(4)
 
+
+# twin of q_graph_pagerank: 3 unrolled synchronous PageRank rounds
+# (d=0.85, dangling mass dropped) over the knn-graph edge set
+def _pagerank_sql(n_iters: int = 3, damping: float = 0.85) -> str:
+    knn = SQL_SIMILARITY_KNN_GRAPH
+    parts = [
+        f"""WITH g AS (
+  SELECT query_id AS src, neighbor_id AS dst FROM ({knn})
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM g UNION ALL SELECT dst AS node FROM g)
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM g GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT c FROM nn) AS rank FROM nodes)"""
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f"""r{t} AS (
+  SELECT n.node,
+         ((1.0 - {damping}) / (SELECT c FROM nn))
+           + {damping} * coalesce(m.mass, 0.0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT g.dst, sum(r.rank / d.deg) AS mass
+    FROM g JOIN r{t - 1} r ON g.src = r.node JOIN deg d ON g.src = d.src
+    GROUP BY g.dst
+  ) m ON n.node = m.dst
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{n_iters}"
+    )
+
+
+SQL_GRAPH_PAGERANK = _pagerank_sql(3, 0.85)
+
 ORACLES = {
     "er_mentions": SQL_ER_MENTIONS,
     "er_blocking_sortkey": SQL_ER_BLOCKING_SORTKEY,
@@ -2042,6 +2080,7 @@ ORACLES = {
     "bpe_learn_merges": SQL_BPE_LEARN_MERGES,
     "similarity_knn_graph": SQL_SIMILARITY_KNN_GRAPH,
     "bpe_segment_counts": SQL_BPE_SEGMENT_COUNTS,
+    "graph_pagerank": SQL_GRAPH_PAGERANK,
     "similarity_ivf": SQL_SIMILARITY_IVF,
     "similarity_lsh_buckets": SQL_SIMILARITY_LSH_BUCKETS,
     "eval_bcubed": SQL_EVAL_BCUBED,

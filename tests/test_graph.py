@@ -1,0 +1,36 @@
+"""Graph analytics: PageRank (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from character_identification_spark.operators.graph import pagerank
+
+
+def test_pagerank_star_graph(spark):
+    """Hub-and-spoke: all spokes point at the hub — after any number of
+    rounds the hub holds the maximum rank, and total mass equals
+    N·base + damped in-flow (no creation of mass beyond the formula)."""
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 5)], "src long, dst long"
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(edges, n_iters=3).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[0] == max(out.values())
+    # spokes have no in-edges: rank = base + 0 after round 1 → all equal
+    assert len({out[i] for i in range(1, 5)}) == 1
+    # hand value: N=5, base=0.03; spokes stay 0.03 from round 1 on;
+    # hub r3 = 0.03 + 0.85*4*0.03 = 0.132
+    assert out[1] == pytest.approx(0.03, abs=1e-6)
+    assert out[0] == pytest.approx(0.132, abs=1e-6)
+
+
+def test_pagerank_cycle_uniform(spark):
+    """A directed cycle is rank-symmetric: uniform 1/N is the fixpoint,
+    so every round must preserve it exactly."""
+    n = 6
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    out = [r["rank"] for r in pagerank(edges, n_iters=4).collect()]
+    assert all(r == pytest.approx(1.0 / n, abs=1e-6) for r in out)
