@@ -831,6 +831,19 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iters=3, damping=0.85)
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (graph.triangle_counts) over the
+    undirected kNN graph: canonical (lo,hi) dedup, ordered two-hop join
+    a<b<c (each triangle once), one node-keyed count."""
+    from character_identification_spark.operators.graph import triangle_counts
+
+    e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
+    edges = knn_graph(e, k=5, n_planes=4, n_tables=2, multiprobe=True).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return triangle_counts(edges)
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist filter (curation.blocklist_filter, Raffel et
     al. 2020's bad-words step): demo list {'slow','dup','spam'} — the
@@ -1443,6 +1456,7 @@ QUERIES = {
     "similarity_knn_graph": q_similarity_knn_graph,
     "bpe_segment_counts": q_bpe_segment_counts,
     "graph_pagerank": q_graph_pagerank,
+    "graph_triangles": q_graph_triangles,
     "blocklist_filter": q_blocklist_filter,
     "bpe_pair_counts": q_bpe_pair_counts,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -68,3 +68,56 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """→ (node, n_triangles): per-node triangle membership counts over
+    the UNDIRECTED view of the edge set (direction and duplicates
+    dropped; self-loops ignored).
+
+    Dataflow: canonicalize each edge to (lo, hi), dedup, then the
+    ordered two-hop join — (a<b) ⋈ (b<c) ⋈ (a<c) — so every triangle
+    materializes exactly once; an explode over its three corners feeds
+    one node-keyed count. Joins are keyed on node ids (uniform for
+    md5-derived graphs); at true scale the standard refinement is
+    degree-orientation (point each edge at the higher-degree endpoint)
+    to cap the wedge fan-out of hub nodes — the id-ordering here is the
+    same algorithm with ids standing in for the degree order, fine for
+    bounded-degree graphs like kNN (deg ≤ 2k).
+    """
+    raw = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    und = (
+        raw.filter(F.col("s") != F.col("d"))
+        .select(
+            F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    tri = (
+        und.alias("e1")
+        .join(
+            und.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2"),
+            "b",
+        )
+        .join(
+            und.select(F.col("a"), F.col("b").alias("c")).alias("e3"),
+            ["a", "c"],
+        )
+        .select("a", "b", "c")
+    )
+    corner = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    ).groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    return nodes.join(corner, "node", "left").select(
+        "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )

@@ -2044,6 +2044,38 @@ r0 AS (SELECT node, 1.0 / (SELECT c FROM nn) AS rank FROM nodes)"""
 
 SQL_GRAPH_PAGERANK = _pagerank_sql(3, 0.85)
 
+
+# twin of q_graph_triangles: undirected canonical edges from the knn
+# graph, ordered two-hop join a<b<c, corner explode
+SQL_GRAPH_TRIANGLES = f"""
+WITH g AS (
+  SELECT query_id AS src, neighbor_id AS dst FROM ({SQL_SIMILARITY_KNN_GRAPH})
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM g WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corner AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+)
+SELECT n.node, coalesce(c.n_triangles, 0) AS n_triangles
+FROM nodes n LEFT JOIN corner c ON n.node = c.node
+"""
+
 ORACLES = {
     "er_mentions": SQL_ER_MENTIONS,
     "er_blocking_sortkey": SQL_ER_BLOCKING_SORTKEY,
@@ -2081,6 +2113,7 @@ ORACLES = {
     "similarity_knn_graph": SQL_SIMILARITY_KNN_GRAPH,
     "bpe_segment_counts": SQL_BPE_SEGMENT_COUNTS,
     "graph_pagerank": SQL_GRAPH_PAGERANK,
+    "graph_triangles": SQL_GRAPH_TRIANGLES,
     "similarity_ivf": SQL_SIMILARITY_IVF,
     "similarity_lsh_buckets": SQL_SIMILARITY_LSH_BUCKETS,
     "eval_bcubed": SQL_EVAL_BCUBED,

@@ -34,3 +34,25 @@ def test_pagerank_cycle_uniform(spark):
     )
     out = [r["rank"] for r in pagerank(edges, n_iters=4).collect()]
     assert all(r == pytest.approx(1.0 / n, abs=1e-6) for r in out)
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 minus one edge: nodes {0,1,2,3}, edges all pairs except (0,3).
+    Triangles: (0,1,2) and (1,2,3) → nodes 1,2 in two each, 0,3 in one.
+    Input is directed + duplicated to exercise canonicalization."""
+    from character_identification_spark.operators.graph import triangle_counts
+
+    pairs = [(0, 1), (1, 0), (0, 2), (1, 2), (2, 1), (1, 3), (2, 3), (3, 3)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert out == {0: 1, 1: 2, 2: 2, 3: 1}
+
+
+def test_triangle_counts_triangle_free(spark):
+    from character_identification_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0}
