@@ -844,6 +844,33 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate per lang (sketch.hll_distinct,
+    Flajolet et al. 2007): 256 md5-derived registers, integer-exact
+    harmonic sum scaled by 2^53, linear-counting small-range branch.
+    One (lang, register)-keyed shuffle with map-side max — constant
+    state per group at any corpus size; the ESTIMATE itself is
+    value-checked against the DuckDB register replay."""
+    from character_identification_spark.operators.sketch import hll_distinct
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return hll_distinct(docs)
+
+
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates (sketch.cms_frequencies, Cormode &
+    Muthukrishnan 2005): 4×1024 counters, min-over-rows probe readout
+    for six in-vocabulary tokens plus one absent token (pins the
+    0-count path). One shuffle onto ≤ 4096 keys; probe lookup is a
+    broadcast join of the literal probe frame against the sketch."""
+    from character_identification_spark.operators.sketch import cms_frequencies
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return cms_frequencies(
+        docs, ("join", "hash", "row", "batch", "scan", "customer", "zzz_absent")
+    )
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist filter (curation.blocklist_filter, Raffel et
     al. 2020's bad-words step): demo list {'slow','dup','spam'} — the
@@ -1457,6 +1484,8 @@ QUERIES = {
     "bpe_segment_counts": q_bpe_segment_counts,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
+    "sketch_hll": q_sketch_hll,
+    "sketch_cms": q_sketch_cms,
     "blocklist_filter": q_blocklist_filter,
     "bpe_pair_counts": q_bpe_pair_counts,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -2076,6 +2076,104 @@ SELECT n.node, coalesce(c.n_triangles, 0) AS n_triangles
 FROM nodes n LEFT JOIN corner c ON n.node = c.node
 """
 
+# twin of q_sketch_hll (sketch.hll_distinct): register j = first 2 md5
+# hex chars, rho = 61 - bitlength of the next 60 bits (ltrim-'0' guards
+# any fixed-width bin rendering; Spark's bin() is already minimal),
+# capped at 53 so 2^(53-m_j) is integer-exact; the alpha·m²·2^53
+# numerator is interpolated from the SAME Python float the engine uses.
+from character_identification_spark.functions.hashing import (  # noqa: E402
+    dd_h_long,
+)
+from character_identification_spark.operators.sketch import (  # noqa: E402
+    HLL_ALPHA,
+    HLL_M,
+    HLL_RHO_CAP,
+)
+
+_HLL_NUM = repr(HLL_ALPHA * HLL_M * HLL_M * float(2**53))
+
+SQL_SKETCH_HLL = rf"""
+WITH toks AS (
+  SELECT lang AS g, t.tok
+  FROM documents,
+       unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+hashed AS (
+  SELECT g,
+         CAST(CAST('0x' || substr(md5(tok), 1, 2) AS UBIGINT) AS INTEGER) AS j,
+         CAST(CAST('0x' || substr(md5(tok), 3, 15) AS UBIGINT) AS BIGINT) AS w
+  FROM toks
+),
+rho AS (
+  SELECT g, j,
+         CASE WHEN w = 0 THEN 61
+              ELSE 61 - length(ltrim(bin(w), '0')) END AS rho
+  FROM hashed
+),
+regs AS (
+  SELECT g, j, max(least(rho, {HLL_RHO_CAP})) AS m_j FROM rho GROUP BY g, j
+),
+frame AS (
+  SELECT g, i.j
+  FROM (SELECT DISTINCT lang AS g FROM documents),
+       unnest(generate_series(0, {HLL_M - 1})) AS i(j)
+),
+filled AS (
+  SELECT f.g, f.j, coalesce(r.m_j, 0) AS m_j
+  FROM frame f LEFT JOIN regs r ON f.g = r.g AND f.j = r.j
+),
+agg AS (
+  SELECT g,
+         CAST(count(*) AS BIGINT) AS n_registers,
+         CAST(sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zero_registers,
+         CAST(sum(CAST(pow(2, 53 - m_j) AS BIGINT)) AS BIGINT) AS scaled_sum,
+         CAST(bit_xor(CAST(j AS BIGINT) * 64 + m_j) AS BIGINT) AS reg_digest
+  FROM filled GROUP BY g
+)
+SELECT g AS lang, n_registers, zero_registers, scaled_sum, reg_digest,
+       round(CASE WHEN ({_HLL_NUM} / scaled_sum) <= {2.5 * HLL_M}
+                   AND zero_registers > 0
+             THEN {float(HLL_M)} * ln({float(HLL_M)} / zero_registers)
+             ELSE {_HLL_NUM} / scaled_sum END, 4) AS est_distinct
+FROM agg
+"""
+
+# twin of q_sketch_cms (sketch.cms_frequencies, depth=4 width=1024):
+# bucket = h_long('s|tok') mod 1024, counters by (s, bucket), probe
+# readout = min over rows with missing buckets as 0
+_CMS_PROBES = "), (".join(
+    f"'{p}'"
+    for p in ("join", "hash", "row", "batch", "scan", "customer", "zzz_absent")
+)
+
+SQL_SKETCH_CMS = rf"""
+WITH occ AS (
+  SELECT t.tok
+  FROM documents,
+       unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+fanned AS (
+  SELECT s.s, tok FROM occ, unnest(generate_series(0, 3)) AS s(s)
+),
+sketch AS (
+  SELECT s, {dd_h_long("CAST(s AS VARCHAR) || '|' || tok")} % 1024 AS b,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM fanned GROUP BY 1, 2
+),
+probes(token) AS (VALUES ({_CMS_PROBES})),
+pb AS (
+  SELECT token, s.s,
+         {dd_h_long("CAST(s.s AS VARCHAR) || '|' || token")} % 1024 AS b
+  FROM probes, unnest(generate_series(0, 3)) AS s(s)
+)
+SELECT token, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
+FROM pb LEFT JOIN sketch USING (s, b)
+GROUP BY token
+"""
+
 ORACLES = {
     "er_mentions": SQL_ER_MENTIONS,
     "er_blocking_sortkey": SQL_ER_BLOCKING_SORTKEY,
@@ -2114,6 +2212,8 @@ ORACLES = {
     "bpe_segment_counts": SQL_BPE_SEGMENT_COUNTS,
     "graph_pagerank": SQL_GRAPH_PAGERANK,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
+    "sketch_hll": SQL_SKETCH_HLL,
+    "sketch_cms": SQL_SKETCH_CMS,
     "similarity_ivf": SQL_SIMILARITY_IVF,
     "similarity_lsh_buckets": SQL_SIMILARITY_LSH_BUCKETS,
     "eval_bcubed": SQL_EVAL_BCUBED,
