@@ -844,6 +844,20 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (cluster.kmeans_fit_predict, k=8, 3 rounds) over
+    the embeddings table: md5-exemplar init, literal-inlined
+    micros-quantized centroids (zero-shuffle assignment), one
+    (cluster, slot)-keyed map-side-combined shuffle per update round.
+    The oracle replays the identical integer-determined rounds as
+    unrolled CTEs."""
+    from character_identification_spark.operators.cluster import kmeans_fit_predict
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = kmeans_fit_predict(emb, k=8, n_iters=3)
+    return out.withColumn("cluster", F.col("cluster").cast("long"))
+
+
 def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-token estimate per lang (sketch.hll_distinct,
     Flajolet et al. 2007): 256 md5-derived registers, integer-exact
@@ -1486,6 +1500,7 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "sketch_hll": q_sketch_hll,
     "sketch_cms": q_sketch_cms,
+    "cluster_kmeans": q_cluster_kmeans,
     "blocklist_filter": q_blocklist_filter,
     "bpe_pair_counts": q_bpe_pair_counts,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -2076,6 +2076,76 @@ SELECT n.node, coalesce(c.n_triangles, 0) AS n_triangles
 FROM nodes n LEFT JOIN corner c ON n.node = c.node
 """
 
+def _kmeans_sql(k: int, n_iters: int, dim: int) -> str:
+    """Twin of cluster.kmeans_fit_predict(k, n_iters): unrolled Lloyd
+    rounds. Working centroids are integer micros at every step (same
+    round() both engines), distances round to micros before the
+    (dist, cluster) argmin, empty clusters coalesce to the previous
+    round's centroid — so each round is an integer-determined function
+    of the last and the replay is exact."""
+
+    def _argmin(prev: str) -> str:
+        return f"""
+    SELECT d.vec_id, d.c, d.dist_m,
+           row_number() OVER (PARTITION BY d.vec_id ORDER BY d.dist_m, d.c) AS rn
+    FROM (
+      SELECT es.vec_id, cp.c,
+             CAST(round(sum((es.val - cp.m / 1000000.0) *
+                            (es.val - cp.m / 1000000.0)) * 1000000)
+                  AS BIGINT) AS dist_m
+      FROM es JOIN {prev} cp ON es.slot = cp.slot
+      GROUP BY es.vec_id, cp.c
+    ) d"""
+
+    rounds = []
+    for t in range(1, n_iters + 1):
+        rounds.append(
+            f"""a{t} AS (
+  SELECT vec_id, c AS cluster FROM ({_argmin(f"c{t - 1}")}) WHERE rn = 1
+),
+n{t} AS (
+  SELECT a.cluster AS c, es.slot,
+         CAST(round(avg(es.val) * 1000000) AS BIGINT) AS m
+  FROM a{t} a JOIN es ON a.vec_id = es.vec_id
+  GROUP BY a.cluster, es.slot
+),
+c{t} AS (
+  SELECT f.c, f.slot, coalesce(n.m, p.m) AS m
+  FROM (SELECT cc.c, ss.slot
+        FROM unnest(generate_series(0, {k - 1})) AS cc(c),
+             unnest(generate_series(0, {dim - 1})) AS ss(slot)) f
+  LEFT JOIN n{t} n ON f.c = n.c AND f.slot = n.slot
+  JOIN c{t - 1} p ON f.c = p.c AND f.slot = p.slot
+)"""
+        )
+    body = ",\n".join(rounds)
+    return f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+es AS (
+  SELECT vec_id, t.i - 1 AS slot, v[t.i] AS val
+  FROM e, unnest(generate_series(1, len(v))) AS t(i)
+),
+init AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS c, v
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+),
+c0 AS (
+  SELECT c, t.i - 1 AS slot, CAST(round(v[t.i] * 1000000) AS BIGINT) AS m
+  FROM init, unnest(generate_series(1, len(v))) AS t(i)
+),
+{body}
+SELECT vec_id, CAST(c AS BIGINT) AS cluster, dist_m AS dist_micros
+FROM ({_argmin(f"c{n_iters}")}) WHERE rn = 1
+"""
+
+
+SQL_CLUSTER_KMEANS = _kmeans_sql(8, 3, 64)
+
+
 # twin of q_sketch_hll (sketch.hll_distinct): register j = first 2 md5
 # hex chars, rho = 61 - bitlength of the next 60 bits (ltrim-'0' guards
 # any fixed-width bin rendering; Spark's bin() is already minimal),
@@ -2214,6 +2284,7 @@ ORACLES = {
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "sketch_hll": SQL_SKETCH_HLL,
     "sketch_cms": SQL_SKETCH_CMS,
+    "cluster_kmeans": SQL_CLUSTER_KMEANS,
     "similarity_ivf": SQL_SIMILARITY_IVF,
     "similarity_lsh_buckets": SQL_SIMILARITY_LSH_BUCKETS,
     "eval_bcubed": SQL_EVAL_BCUBED,

@@ -1,0 +1,54 @@
+"""Lloyd's k-means: blob recovery, determinism, degenerate paths."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from character_identification_spark.operators.cluster import kmeans_fit_predict
+
+
+def _emb(spark, vecs):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    # 3 tight blobs far apart; k=3 must put each blob in one cluster.
+    rng = np.random.RandomState(7)
+    blobs = [rng.randn(20, 4) * 0.05 + center for center in
+             ([10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0])]
+    vecs = np.vstack(blobs)
+    out = kmeans_fit_predict(_emb(spark, vecs), k=3, n_iters=3).collect()
+    label = {r["vec_id"]: r["cluster"] for r in out}
+    for b in range(3):
+        members = {label[i] for i in range(20 * b, 20 * (b + 1))}
+        assert len(members) == 1, f"blob {b} split across {members}"
+    assert len({label[0], label[20], label[40]}) == 3
+
+
+def test_kmeans_deterministic(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(50, 6)
+    df = _emb(spark, vecs)
+    a = sorted(map(tuple, kmeans_fit_predict(df, k=4, n_iters=2).collect()))
+    b = sorted(map(tuple, kmeans_fit_predict(df, k=4, n_iters=2).collect()))
+    assert a == b
+
+
+def test_kmeans_identical_points_tiebreak_lowest_cluster(spark):
+    # All points coincide → both init centroids coincide → every dist
+    # ties → argmin breaks to cluster 0; cluster 1 goes empty and must
+    # keep its previous centroid without erroring.
+    out = kmeans_fit_predict(_emb(spark, [[1.0, 2.0]] * 10), k=2, n_iters=2).collect()
+    assert {r["cluster"] for r in out} == {0}
+    assert all(r["dist_micros"] == 0 for r in out)
+
+
+def test_kmeans_assignment_plan_is_python_free(spark):
+    # The assignment step must stay a JVM projection — no BatchEvalPython
+    # / ArrowEvalPython in the final plan.
+    rng = np.random.RandomState(1)
+    out = kmeans_fit_predict(_emb(spark, rng.randn(30, 4)), k=2, n_iters=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
