@@ -844,6 +844,49 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (search.rrf_fuse,
+    Cormack et al. 2009, k=60): BM25 lexical top-15 ⊕ exact-cosine
+    semantic top-15 for query vector 0 (doc_id ≡ vec_id in the
+    fixture), fused on integer micros so the final ranking is exact.
+    Absent-from-list ranks surface as 0 (both engines coalesce)."""
+    from character_identification_spark.operators.search import bm25_search, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    lex = bm25_search(docs, ["spark", "vector", "slow"], k=15)
+    e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sem = cosine_topk(e, queries, k=15, id_col="vec_id", vec_col="embedding").select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    out = rrf_fuse(lex, sem, k=60, top_k=10)
+    return out.select(
+        "doc_id",
+        F.coalesce("rank_lexical", F.lit(0)).cast("long").alias("rank_lexical"),
+        F.coalesce("rank_semantic", F.lit(0)).cast("long").alias("rank_semantic"),
+        "rrf_micros",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (graph.label_propagation, Raghavan
+    et al. 2007, 3 rounds, min-label tie-break) over the undirected kNN
+    graph — all-integer rounds, so the unrolled-CTE oracle matches
+    exactly where GraphX's run-dependent LPA could not."""
+    from character_identification_spark.operators.graph import label_propagation
+
+    e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
+    edges = knn_graph(e, k=5, n_planes=4, n_tables=2, multiprobe=True).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return label_propagation(edges, n_iters=3)
+
+
 def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (cluster.kmeans_fit_predict, k=8, 3 rounds) over
     the embeddings table: md5-exemplar init, literal-inlined
@@ -1501,6 +1544,8 @@ QUERIES = {
     "sketch_hll": q_sketch_hll,
     "sketch_cms": q_sketch_cms,
     "cluster_kmeans": q_cluster_kmeans,
+    "graph_communities": q_graph_communities,
+    "search_hybrid": q_search_hybrid,
     "blocklist_filter": q_blocklist_filter,
     "bpe_pair_counts": q_bpe_pair_counts,
     "winnow_fingerprint": q_winnow_fingerprint,

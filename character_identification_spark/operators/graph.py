@@ -121,3 +121,64 @@ def triangle_counts(
     return nodes.join(corner, "node", "left").select(
         "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """→ (node, community): synchronous label propagation (Raghavan et
+    al. 2007) over the undirected view of the edge set, ``n_iters``
+    rounds from community := node id.
+
+    Each round every node adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label; isolated rounds keep
+    the previous label. Fixed iteration count + deterministic
+    tie-break means the whole computation is integer arithmetic — the
+    DuckDB twin unrolls the rounds and matches exactly (contrast
+    GraphX's LPA, whose hash-partitioned tie-breaks are
+    run-dependent).
+
+    Scale shape: per round, TWO keyed shuffles — neighbor-label counts
+    on (node, label), then the (count desc, label asc) argmax per node
+    — both map-side combined; the label table is node-sized. Degree
+    skew is bounded for kNN graphs (deg ≤ 2k); for power-law graphs the
+    count stage is the standard salt-and-resum target.
+    """
+    raw = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    und = (
+        raw.filter(F.col("s") != F.col("d"))
+        .select(F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    ).localCheckpoint()
+    labels = adj.select("node").distinct().withColumn("community", F.col("node"))
+    for _ in range(n_iters):
+        votes = (
+            adj.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("community").alias("lbl")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        best = votes.groupBy("node").agg(
+            F.min(
+                F.struct((-F.col("n")).alias("neg_n"), F.col("lbl").alias("lbl"))
+            )["lbl"].alias("new_lbl")
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_lbl", "community").alias("community"),
+            )
+            .localCheckpoint()
+        )
+    return labels

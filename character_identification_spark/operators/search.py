@@ -91,3 +91,54 @@ def bm25_search(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "n_terms_hit", "score", "rank"
     )
+
+
+def rrf_fuse(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    k: int = 60,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """→ (doc_id, rank_lexical, rank_semantic, rrf_micros, rank):
+    reciprocal-rank fusion (Cormack et al. 2009) of two rankings —
+    the standard hybrid-retrieval combiner (BM25 ⊕ embedding ANN) in
+    RAG data pipelines. score(d) = Σ_lists 1/(k + rank_d); a doc
+    missing from a list contributes 0.
+
+    Determinism: the score is a two-term sum of int-derived double
+    divisions in a FIXED order, quantized to integer micros before the
+    final (micros desc, doc_id) rank — so fusion order is exact on both
+    engines. Input ranks are preserved as nullable columns for
+    provenance.
+
+    Scale shape: both inputs are top-k lists (already reduced), so the
+    full-outer join and the rank window run on k-sized data — driver-
+    trivial regardless of corpus size; fusing per-query rankings at
+    scale is the same plan partitioned by query id.
+    """
+    a = rank_a.select(
+        F.col(id_col).alias("doc_id"), F.col(rank_col).alias("rank_lexical")
+    )
+    b = rank_b.select(
+        F.col(id_col).alias("doc_id"), F.col(rank_col).alias("rank_semantic")
+    )
+    fused = a.join(b, "doc_id", "full_outer").withColumn(
+        "rrf_micros",
+        F.round(
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("rank_lexical")), F.lit(0.0))
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(k) + F.col("rank_semantic")), F.lit(0.0)
+                )
+            )
+            * 1_000_000.0
+        ).cast("long"),
+    )
+    w = Window.orderBy(F.desc("rrf_micros"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "rank_lexical", "rank_semantic", "rrf_micros", "rank")
+    )

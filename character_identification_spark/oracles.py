@@ -2076,6 +2076,99 @@ SELECT n.node, coalesce(c.n_triangles, 0) AS n_triangles
 FROM nodes n LEFT JOIN corner c ON n.node = c.node
 """
 
+def _label_propagation_sql(n_iters: int) -> str:
+    """Twin of graph.label_propagation over the knn-graph edges:
+    undirected symmetrized adjacency, per round a (node, label) vote
+    count and a (count desc, label asc) argmax, isolated-vote coalesce
+    to the previous label. All-integer — exact replay."""
+    rounds = []
+    for t in range(1, n_iters + 1):
+        rounds.append(
+            f"""v{t} AS (
+  SELECT adj.node, l.community AS lbl, count(*) AS n
+  FROM adj JOIN l{t - 1} l ON adj.nbr = l.node
+  GROUP BY adj.node, l.community
+),
+b{t} AS (
+  SELECT node, lbl AS new_lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY n DESC, lbl) AS rn
+    FROM v{t}
+  ) WHERE rn = 1
+),
+l{t} AS (
+  SELECT p.node, coalesce(b.new_lbl, p.community) AS community
+  FROM l{t - 1} p LEFT JOIN b{t} b ON p.node = b.node
+)"""
+        )
+    body = ",\n".join(rounds)
+    return f"""
+WITH g AS (
+  SELECT query_id AS src, neighbor_id AS dst FROM ({SQL_SIMILARITY_KNN_GRAPH})
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM g WHERE src <> dst
+),
+adj AS (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL
+  SELECT b AS node, a AS nbr FROM und
+),
+l0 AS (
+  SELECT DISTINCT node, node AS community FROM adj
+),
+{body}
+SELECT node, community FROM l{n_iters}
+"""
+
+
+SQL_GRAPH_COMMUNITIES = _label_propagation_sql(3)
+
+
+# twin of q_search_hybrid (search.rrf_fuse k=60 over BM25 top-15 ⊕
+# exact-cosine top-15 for query vec 0): two-term reciprocal-rank sum
+# quantized to micros before the final (micros desc, doc_id) rank
+SQL_SEARCH_HYBRID = f"""
+WITH lex AS (
+  SELECT doc_id, rank FROM ({SQL_SEARCH_BM25})
+),
+e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+sem AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM (
+    SELECT e.vec_id,
+           list_dot_product(e.v, qv.qv) /
+             (sqrt(list_dot_product(e.v, e.v)) *
+              sqrt(list_dot_product(qv.qv, qv.qv))) AS cos_sim
+    FROM e CROSS JOIN qv WHERE e.vec_id <> 0
+  )
+  QUALIFY rank <= 15
+),
+fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         l.rank AS rank_lexical, s.rank AS rank_semantic,
+         CAST(round((coalesce(1.0 / (60 + l.rank), 0.0) +
+                     coalesce(1.0 / (60 + s.rank), 0.0)) * 1000000)
+              AS BIGINT) AS rrf_micros
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id,
+       CAST(coalesce(rank_lexical, 0) AS BIGINT) AS rank_lexical,
+       CAST(coalesce(rank_semantic, 0) AS BIGINT) AS rank_semantic,
+       rrf_micros,
+       CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id) AS BIGINT)
+         AS rank
+FROM fused
+QUALIFY rank <= 10
+"""
+
+
 def _kmeans_sql(k: int, n_iters: int, dim: int) -> str:
     """Twin of cluster.kmeans_fit_predict(k, n_iters): unrolled Lloyd
     rounds. Working centroids are integer micros at every step (same
@@ -2285,6 +2378,8 @@ ORACLES = {
     "sketch_hll": SQL_SKETCH_HLL,
     "sketch_cms": SQL_SKETCH_CMS,
     "cluster_kmeans": SQL_CLUSTER_KMEANS,
+    "graph_communities": SQL_GRAPH_COMMUNITIES,
+    "search_hybrid": SQL_SEARCH_HYBRID,
     "similarity_ivf": SQL_SIMILARITY_IVF,
     "similarity_lsh_buckets": SQL_SIMILARITY_LSH_BUCKETS,
     "eval_bcubed": SQL_EVAL_BCUBED,

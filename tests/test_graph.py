@@ -56,3 +56,26 @@ def test_triangle_counts_triangle_free(spark):
     )
     out = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
     assert out == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_label_propagation_two_cliques(spark):
+    from character_identification_spark.operators.graph import label_propagation
+
+    # Two 4-cliques joined by one bridge edge: LPA must collapse each
+    # clique to its minimum node id and keep the cliques apart.
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(3, 10)], "src long, dst long")
+    out = {r["node"]: r["community"] for r in label_propagation(edges, n_iters=4).collect()}
+    assert {out[i] for i in range(4)} == {0}
+    assert {out[i] for i in range(10, 14)} == {10}
+
+
+def test_label_propagation_min_label_tiebreak(spark):
+    from character_identification_spark.operators.graph import label_propagation
+
+    # Path 0-1-2: after one round every vote set ties at n=1 → each node
+    # takes its smallest neighbor label.
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    out = {r["node"]: r["community"] for r in label_propagation(edges, n_iters=1).collect()}
+    assert out == {0: 1, 1: 0, 2: 1}

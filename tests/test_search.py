@@ -54,3 +54,29 @@ def test_bm25_topk_plan_has_no_global_rank_exchange(spark):
     )
     plan = bm25_search(docs, ["spark"], k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rrf_fuse_known_values(spark):
+    from character_identification_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(20, 1), (40, 2)], "doc_id long, rank int")
+    out = {r["doc_id"]: r for r in rrf_fuse(a, b, k=60, top_k=10).collect()}
+    # doc 20: 1/62 + 1/61 ≈ 0.032522 → both-list docs outrank single-list
+    assert out[20]["rank"] == 1
+    assert out[20]["rrf_micros"] == round((1 / 62 + 1 / 61) * 1e6)
+    assert out[10]["rrf_micros"] == round((1 / 61) * 1e6)
+    # absent-list rank is preserved as null provenance
+    assert out[10]["rank_semantic"] is None
+    assert out[40]["rank_lexical"] is None
+    # single-list ties (10 at 1/61 lex vs 40 at 1/62 sem) order by score
+    assert out[10]["rank"] < out[40]["rank"]
+
+
+def test_rrf_fuse_tiebreak_doc_id(spark):
+    from character_identification_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(5, 1)], "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1)], "doc_id long, rank int")
+    out = rrf_fuse(a, b, k=60, top_k=10).collect()
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [3, 5]
