@@ -844,6 +844,26 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def q_similarity_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→8 dims
+    (similarity.jl_project): md5-derived plane family, zero-shuffle
+    codegen projection, no materialized matrix; array rendered as
+    ','-joined integer micros per the oracle convention."""
+    from character_identification_spark.operators.similarity import jl_project
+
+    e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
+    out = jl_project(e, dim_count=64, out_dim=8)
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                F.col("proj"), lambda x: F.round(x * 1_000_000.0).cast("long")
+            ),
+            ",",
+        ).alias("proj_micros"),
+    )
+
+
 def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion (search.rrf_fuse,
     Cormack et al. 2009, k=60): BM25 lexical top-15 ⊕ exact-cosine
@@ -1546,6 +1566,7 @@ QUERIES = {
     "cluster_kmeans": q_cluster_kmeans,
     "graph_communities": q_graph_communities,
     "search_hybrid": q_search_hybrid,
+    "similarity_jl_project": q_similarity_jl_project,
     "blocklist_filter": q_blocklist_filter,
     "bpe_pair_counts": q_bpe_pair_counts,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -352,3 +352,49 @@ def knn_graph(
         multiprobe=multiprobe,
         broadcast_queries=False,
     )
+
+
+def jl_project(
+    emb: DataFrame,
+    dim_count: int,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (id, proj: array<double>[out_dim]): Johnson-Lindenstrauss
+    random projection — proj_j = <v, r_j> / sqrt(out_dim) with r_j the
+    md5-derived pseudo-random plane family "jl{j}" (same [-1, 1)
+    component construction as the sign-LSH planes, disjoint namespace).
+
+    The cheap dimensionality reducer in front of ANN / clustering at
+    scale: a pure zero-shuffle whole-stage-codegen projection — the
+    projection matrix never materializes anywhere, each component is
+    recomputed from md5 inside the expression, so there is no
+    broadcast, no state, and the DuckDB twin replays it exactly.
+    Distance preservation follows JL for out_dim = O(log n / eps^2);
+    unit-tested against an independent numpy replication.
+    """
+    import math
+
+    v = F.col(vec_col)
+    norm = math.sqrt(float(out_dim))
+
+    # Closure factory, NOT `lambda d, j=j`: a two-parameter lambda would
+    # receive (element, array_index) from Spark's higher-order transform
+    # and silently shadow j with the index column (CLAUDE.md invariant).
+    def _plane(j: int):
+        return lambda d: plane_component(F.lit(f"jl{j}"), d)
+
+    comps = []
+    for j in range(out_dim):
+        dp = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(F.sequence(F.lit(0), F.lit(dim_count - 1)), _plane(j)),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps.append(dp / F.lit(norm))
+    return emb.select(F.col(id_col), F.array(*comps).alias("proj"))

@@ -2126,6 +2126,31 @@ SELECT node, community FROM l{n_iters}
 SQL_GRAPH_COMMUNITIES = _label_propagation_sql(3)
 
 
+# twin of q_similarity_jl_project (similarity.jl_project 64→8): plane
+# family "jl{j}", component = (md5_60bit('jl{j}|i') / 2^59) - 1,
+# proj_j = <v, r_j> / sqrt(8), rendered as integer micros
+SQL_SIMILARITY_JL_PROJECT = r"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id, s.j AS slot,
+         list_sum(list_transform(generate_series(1, len(v)),
+           i -> v[i] * ((CAST(CAST('0x' ||
+                  substr(md5('jl' || CAST(s.j AS VARCHAR) || '|' ||
+                             CAST(i - 1 AS VARCHAR)), 1, 15)
+                  AS UBIGINT) AS BIGINT) / 576460752303423488.0) - 1.0)))
+           / sqrt(8.0) AS val
+  FROM e, unnest(generate_series(0, 7)) AS s(j)
+)
+SELECT vec_id,
+       string_agg(CAST(CAST(round(val * 1000000) AS BIGINT) AS VARCHAR),
+                  ',' ORDER BY slot) AS proj_micros
+FROM p GROUP BY vec_id
+"""
+
+
 # twin of q_search_hybrid (search.rrf_fuse k=60 over BM25 top-15 ⊕
 # exact-cosine top-15 for query vec 0): two-term reciprocal-rank sum
 # quantized to micros before the final (micros desc, doc_id) rank
@@ -2380,6 +2405,7 @@ ORACLES = {
     "cluster_kmeans": SQL_CLUSTER_KMEANS,
     "graph_communities": SQL_GRAPH_COMMUNITIES,
     "search_hybrid": SQL_SEARCH_HYBRID,
+    "similarity_jl_project": SQL_SIMILARITY_JL_PROJECT,
     "similarity_ivf": SQL_SIMILARITY_IVF,
     "similarity_lsh_buckets": SQL_SIMILARITY_LSH_BUCKETS,
     "eval_bcubed": SQL_EVAL_BCUBED,

@@ -197,3 +197,40 @@ def test_knn_graph_shape_and_no_query_broadcast(spark):
     for ranks in per.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 5
+
+
+def test_jl_project_matches_numpy_replication(spark):
+    from character_identification_spark.operators.similarity import jl_project
+    import hashlib
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(5, 12)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: list(r["proj"]) for r in jl_project(df, 12, out_dim=4).collect()}
+
+    def comp(j, d):
+        h = int(hashlib.md5(f"jl{j}|{d}".encode()).hexdigest()[:15], 16)
+        return h / float(2**59) - 1.0
+
+    R = np.array([[comp(j, d) for d in range(12)] for j in range(4)])
+    for i, v in enumerate(vecs):
+        expect = (R @ v) / np.sqrt(4.0)
+        assert np.allclose(out[i], expect, atol=1e-9), (i, out[i], expect)
+
+
+def test_jl_project_preserves_relative_distances(spark):
+    from character_identification_spark.operators.similarity import jl_project
+
+    # Deterministic (md5 planes, fixed input): a far pair must stay
+    # farther than a near pair after 64→16 projection.
+    rng = np.random.RandomState(2)
+    base = rng.randn(64)
+    near = base + 0.01 * rng.randn(64)
+    far = rng.randn(64) * 3
+    rows = [(0, base.tolist()), (1, near.tolist()), (2, far.tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: np.array(r["proj"]) for r in jl_project(df, 64, out_dim=16).collect()}
+    d_near = np.linalg.norm(out[0] - out[1])
+    d_far = np.linalg.norm(out[0] - out[2])
+    assert d_near < d_far
