@@ -844,6 +844,26 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def q_cluster_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization 64d → 8 codes of k=16 (cluster.
+    pq_train_encode, Jégou et al. 2011, 2 fused Lloyd rounds): all 8
+    block codebooks train in 2 scans/iteration (one fused argmin
+    projection + one (block, cluster, slot)-keyed agg); codes and the
+    integer reconstruction-error column replay exactly in the
+    unrolled-CTE oracle."""
+    from character_identification_spark.operators.cluster import pq_train_encode
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = pq_train_encode(emb, n_blocks=8, k=16, n_iters=2)
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+        ).alias("codes_str"),
+        "recon_micros",
+    )
+
+
 def q_similarity_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection 64→8 dims
     (similarity.jl_project): md5-derived plane family, zero-shuffle
@@ -1567,6 +1587,7 @@ QUERIES = {
     "graph_communities": q_graph_communities,
     "search_hybrid": q_search_hybrid,
     "similarity_jl_project": q_similarity_jl_project,
+    "cluster_pq_codes": q_cluster_pq_codes,
     "blocklist_filter": q_blocklist_filter,
     "bpe_pair_counts": q_bpe_pair_counts,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -33,30 +33,41 @@ from pyspark.sql import functions as F
 MICROS = 1_000_000.0
 
 
-def _dist_micros(vec_col: str, centroid: list[float]):
-    """Squared L2 distance to a literal centroid, in rounded micros."""
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
-    d2 = F.aggregate(
-        F.zip_with(F.col(vec_col), lit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _best_centroid(vec, centroids: list[list[float]]):
+    """(dist_micros, cluster) argmin against a literal centroid table.
+
+    The centroids enter as ONE literal array<array<double>> consumed by
+    higher-order functions, so the generated code contains a single
+    distance-fold lambda regardless of k — an array_sort over k copies
+    of the fold was measured at ~19 s of codegen for k·n_blocks = 128
+    at PQ scale vs ~2 s for this shape. Values are identical: same
+    sequential fold per centroid, same micros rounding, argmin by
+    (dist_micros, index). The two-parameter transform lambda receives
+    (element, index) from Spark — the index IS the cluster id here.
+    """
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    dists = F.transform(
+        cents,
+        lambda c: F.round(
+            F.aggregate(
+                F.zip_with(vec, c, lambda a, y: (a - y) * (a - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * MICROS
+        ).cast("long"),
     )
-    return F.round(d2 * MICROS).cast("long")
+    pairs = F.transform(
+        dists,
+        lambda d, i: F.struct(d.alias("dist_micros"), i.alias("cluster")),
+    )
+    return F.element_at(F.array_sort(pairs), 1)
 
 
 def _assign(base: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
-    """Argmin-by-(dist_micros, cluster) as an array_sort over structs —
-    pure projection, no shuffle, no Python."""
-    arr = F.array(
-        *[
-            F.struct(
-                _dist_micros(vec_col, c).alias("dist_micros"),
-                F.lit(ci).alias("cluster"),
-            )
-            for ci, c in enumerate(centroids)
-        ]
-    )
-    best = F.element_at(F.array_sort(arr), 1)
+    """Argmin-by-(dist_micros, cluster) — pure projection, no shuffle,
+    no Python."""
+    best = _best_centroid(F.col(vec_col), centroids)
     return base.withColumn("cluster", best["cluster"]).withColumn(
         "dist_micros", best["dist_micros"]
     )
@@ -113,4 +124,113 @@ def kmeans_fit_predict(
 
     return _assign(base, "_v", centroids).select(
         F.col("_id").alias(id_col), "cluster", "dist_micros"
+    )
+
+
+def pq_train_encode(
+    emb: DataFrame,
+    n_blocks: int = 8,
+    k: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (id, codes: array<int>[n_blocks], recon_micros): product
+    quantization (Jégou et al. 2011) — the memory side of IVF-PQ ANN at
+    scale: each vector compresses to n_blocks sub-space codebook codes
+    (here 64 dims → 8 bytes), distances later approximate via per-block
+    lookup tables.
+
+    Training is per-block Lloyd's k-means under the SAME determinism
+    contract as kmeans_fit_predict (md5-exemplar init shared across
+    blocks, micros-quantized centroids, micros-rounded distances with
+    index tie-break, empty clusters keep their centroid) — but FUSED:
+    one assignment projection computes every block's argmin in a single
+    pass, and one (block, cluster, slot)-keyed aggregation updates all
+    n_blocks codebooks per round (map-side partials collapse each
+    partition to ≤ n_blocks·k·d_b rows). 2 scans per iteration total,
+    independent of n_blocks — not 2·n_blocks.
+
+    recon_micros = Σ_b block-distance-micros of the chosen code — an
+    INTEGER sum of integers, so the reconstruction-error column is
+    exactly replayable too.
+    """
+    base = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    init_rows = (
+        base.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(k)
+        .select(
+            F.transform(
+                F.col("_v"), lambda x: F.round(x * MICROS).cast("long")
+            ).alias("m")
+        )
+        .collect()
+    )
+    dim = len(init_rows[0]["m"])
+    if dim % n_blocks:
+        raise ValueError(f"dim {dim} not divisible by n_blocks {n_blocks}")
+    d_b = dim // n_blocks
+    # centroids[b][c] = d_b-dim sub-vector of exemplar c
+    centroids = [
+        [[m / MICROS for m in r["m"][b * d_b : (b + 1) * d_b]] for r in init_rows]
+        for b in range(n_blocks)
+    ]
+
+    def _block_best(b: int):
+        sub = F.slice(F.col("_v"), b * d_b + 1, d_b)
+        return _best_centroid(sub, centroids[b])
+
+    def _assigned() -> DataFrame:
+        cols = [F.col("_id"), F.col("_v")]
+        for b in range(n_blocks):
+            best = _block_best(b)
+            cols.append(best["cluster"].alias(f"c{b}"))
+            cols.append(best["dist_micros"].alias(f"d{b}"))
+        return base.select(*cols)
+
+    for _ in range(n_iters):
+        # localCheckpoint cuts projection collapse: without it Catalyst
+        # inlines all n_blocks argmin mega-expressions into the exploded
+        # update agg and codegen time dominates (measured 25 s/iter on
+        # 500 rows; 2 s with the barrier). Same per-round state
+        # materialization discipline as operators/cc.py.
+        code_arr = F.array(*[F.col(f"c{b}") for b in range(n_blocks)])
+        a = _assigned().select(code_arr.alias("codes"), "_v").localCheckpoint()
+        new_rows = (
+            a.select("codes", F.posexplode(F.col("_v")).alias("slot", "val"))
+            .select(
+                (F.col("slot") / d_b).cast("int").alias("b"),
+                F.element_at(
+                    F.col("codes"), (F.col("slot") / d_b).cast("int") + 1
+                ).alias("cluster"),
+                (F.col("slot") % d_b).alias("slot_in"),
+                "val",
+            )
+            .groupBy("b", "cluster", "slot_in")
+            .agg(F.round(F.avg("val") * MICROS).cast("long").alias("m"))
+            .collect()
+        )
+        got: dict[tuple[int, int], dict[int, int]] = {}
+        for r in new_rows:
+            got.setdefault((r["b"], r["cluster"]), {})[r["slot_in"]] = r["m"]
+        centroids = [
+            [
+                [got[(b, ci)][s] / MICROS for s in range(d_b)]
+                if (b, ci) in got
+                else centroids[b][ci]
+                for ci in range(k)
+            ]
+            for b in range(n_blocks)
+        ]
+
+    final = _assigned()
+    recon = F.col("d0")
+    for b in range(1, n_blocks):
+        recon = recon + F.col(f"d{b}")
+    return final.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"c{b}") for b in range(n_blocks)]).alias("codes"),
+        recon.alias("recon_micros"),
     )

@@ -2264,6 +2264,83 @@ FROM ({_argmin(f"c{n_iters}")}) WHERE rn = 1
 SQL_CLUSTER_KMEANS = _kmeans_sql(8, 3, 64)
 
 
+def _pq_sql(n_blocks: int, k: int, n_iters: int, dim: int) -> str:
+    """Twin of cluster.pq_train_encode: per-block Lloyd rounds unrolled,
+    same integer-determinism contract as _kmeans_sql but keyed by
+    (block, cluster); codes string-joined in block order and the
+    reconstruction error summed as exact integers."""
+    d_b = dim // n_blocks
+
+    def _argmin(prev: str) -> str:
+        return f"""
+    SELECT d.vec_id, d.b, d.c, d.dist_m,
+           row_number() OVER (PARTITION BY d.vec_id, d.b
+                              ORDER BY d.dist_m, d.c) AS rn
+    FROM (
+      SELECT esb.vec_id, esb.b, cp.c,
+             CAST(round(sum((esb.val - cp.m / 1000000.0) *
+                            (esb.val - cp.m / 1000000.0)) * 1000000)
+                  AS BIGINT) AS dist_m
+      FROM esb JOIN {prev} cp
+        ON esb.b = cp.b AND esb.slot_in = cp.slot_in
+      GROUP BY esb.vec_id, esb.b, cp.c
+    ) d"""
+
+    rounds = []
+    for t in range(1, n_iters + 1):
+        rounds.append(
+            f"""a{t} AS (
+  SELECT vec_id, b, c AS code FROM ({_argmin(f"c{t - 1}")}) WHERE rn = 1
+),
+n{t} AS (
+  SELECT a.b, a.code AS c, esb.slot_in,
+         CAST(round(avg(esb.val) * 1000000) AS BIGINT) AS m
+  FROM a{t} a JOIN esb ON a.vec_id = esb.vec_id AND a.b = esb.b
+  GROUP BY a.b, a.code, esb.slot_in
+),
+c{t} AS (
+  SELECT f.b, f.c, f.slot_in, coalesce(n.m, p.m) AS m
+  FROM (SELECT bb.b, cc.c, ss.slot_in
+        FROM unnest(generate_series(0, {n_blocks - 1})) AS bb(b),
+             unnest(generate_series(0, {k - 1})) AS cc(c),
+             unnest(generate_series(0, {d_b - 1})) AS ss(slot_in)) f
+  LEFT JOIN n{t} n ON f.b = n.b AND f.c = n.c AND f.slot_in = n.slot_in
+  JOIN c{t - 1} p ON f.b = p.b AND f.c = p.c AND f.slot_in = p.slot_in
+)"""
+        )
+    body = ",\n".join(rounds)
+    return f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+esb AS (
+  SELECT vec_id, (t.i - 1) // {d_b} AS b, (t.i - 1) % {d_b} AS slot_in,
+         v[t.i] AS val
+  FROM e, unnest(generate_series(1, len(v))) AS t(i)
+),
+init AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS c, v
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+),
+c0 AS (
+  SELECT c, (t.i - 1) // {d_b} AS b, (t.i - 1) % {d_b} AS slot_in,
+         CAST(round(v[t.i] * 1000000) AS BIGINT) AS m
+  FROM init, unnest(generate_series(1, len(v))) AS t(i)
+),
+{body}
+SELECT vec_id,
+       string_agg(CAST(c AS VARCHAR), ',' ORDER BY b) AS codes_str,
+       CAST(sum(dist_m) AS BIGINT) AS recon_micros
+FROM ({_argmin(f"c{n_iters}")}) WHERE rn = 1
+GROUP BY vec_id
+"""
+
+
+SQL_CLUSTER_PQ_CODES = _pq_sql(8, 16, 2, 64)
+
+
 # twin of q_sketch_hll (sketch.hll_distinct): register j = first 2 md5
 # hex chars, rho = 61 - bitlength of the next 60 bits (ltrim-'0' guards
 # any fixed-width bin rendering; Spark's bin() is already minimal),
@@ -2403,6 +2480,7 @@ ORACLES = {
     "sketch_hll": SQL_SKETCH_HLL,
     "sketch_cms": SQL_SKETCH_CMS,
     "cluster_kmeans": SQL_CLUSTER_KMEANS,
+    "cluster_pq_codes": SQL_CLUSTER_PQ_CODES,
     "graph_communities": SQL_GRAPH_COMMUNITIES,
     "search_hybrid": SQL_SEARCH_HYBRID,
     "similarity_jl_project": SQL_SIMILARITY_JL_PROJECT,

@@ -52,3 +52,52 @@ def test_kmeans_assignment_plan_is_python_free(spark):
     out = kmeans_fit_predict(_emb(spark, rng.randn(30, 4)), k=2, n_iters=1)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_pq_exact_when_corpus_is_the_codebook(spark):
+    from character_identification_spark.operators.cluster import pq_train_encode
+
+    # 16 distinct vectors, k=16 → the exemplar init IS the corpus, every
+    # vector reconstructs exactly (recon_micros = 0 by integer identity).
+    rng = np.random.RandomState(5)
+    out = pq_train_encode(
+        _emb(spark, rng.randn(16, 8)), n_blocks=2, k=16, n_iters=1
+    ).collect()
+    assert len(out) == 16
+    assert all(r["recon_micros"] == 0 for r in out)
+    assert all(len(r["codes"]) == 2 for r in out)
+
+
+def test_pq_training_reduces_reconstruction_error(spark):
+    from character_identification_spark.operators.cluster import pq_train_encode
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(9)
+    df = _emb(spark, rng.randn(120, 8))
+
+    def total(n_iters):
+        out = pq_train_encode(df, n_blocks=2, k=4, n_iters=n_iters)
+        return out.agg(F.sum("recon_micros")).collect()[0][0]
+
+    assert total(2) < total(0)
+
+
+def test_pq_codes_bounded_and_deterministic(spark):
+    from character_identification_spark.operators.cluster import pq_train_encode
+
+    rng = np.random.RandomState(4)
+    df = _emb(spark, rng.randn(40, 8))
+    a = sorted((r["vec_id"], tuple(r["codes"]), r["recon_micros"])
+               for r in pq_train_encode(df, n_blocks=4, k=4, n_iters=2).collect())
+    b = sorted((r["vec_id"], tuple(r["codes"]), r["recon_micros"])
+               for r in pq_train_encode(df, n_blocks=4, k=4, n_iters=2).collect())
+    assert a == b
+    assert all(0 <= c < 4 for _, codes, _ in a for c in codes)
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    import pytest
+    from character_identification_spark.operators.cluster import pq_train_encode
+
+    with pytest.raises(ValueError):
+        pq_train_encode(_emb(spark, np.ones((4, 7))), n_blocks=2, k=2, n_iters=1)
