@@ -864,6 +864,20 @@ def q_cluster_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10 search (cluster.pq_topk) for the
+    first 8 vectors as queries: corpus scored through its 8 codes only
+    via broadcast per-query lookup tables — every table entry and code
+    an integer, so the approximate ranking replays exactly."""
+    from character_identification_spark.operators.cluster import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, k=10, n_blocks=8, k_codebook=16, n_iters=2)
+
+
 def q_similarity_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection 64→8 dims
     (similarity.jl_project): md5-derived plane family, zero-shuffle
@@ -1588,6 +1602,7 @@ QUERIES = {
     "search_hybrid": q_search_hybrid,
     "similarity_jl_project": q_similarity_jl_project,
     "cluster_pq_codes": q_cluster_pq_codes,
+    "similarity_pq_topk": q_similarity_pq_topk,
     "blocklist_filter": q_blocklist_filter,
     "bpe_pair_counts": q_bpe_pair_counts,
     "winnow_fingerprint": q_winnow_fingerprint,

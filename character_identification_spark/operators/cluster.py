@@ -27,7 +27,7 @@ curation stack needs (SemDeDup's own step 1 is exactly this k-means).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MICROS = 1_000_000.0
@@ -158,6 +158,32 @@ def pq_train_encode(
     base = emb.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
+    centroids, d_b = _pq_train(base, n_blocks, k, n_iters)
+    n_b = len(centroids)
+    final = _pq_assigned(base, centroids, d_b)
+    recon = F.col("d0")
+    for b in range(1, n_b):
+        recon = recon + F.col(f"d{b}")
+    return final.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"c{b}") for b in range(n_b)]).alias("codes"),
+        recon.alias("recon_micros"),
+    )
+
+
+def _pq_assigned(base: DataFrame, centroids, d_b: int) -> DataFrame:
+    """One fused projection: every block's (code, dist_micros) argmin."""
+    cols = [F.col("_id"), F.col("_v")]
+    for b in range(len(centroids)):
+        sub = F.slice(F.col("_v"), b * d_b + 1, d_b)
+        best = _best_centroid(sub, centroids[b])
+        cols.append(best["cluster"].alias(f"c{b}"))
+        cols.append(best["dist_micros"].alias(f"d{b}"))
+    return base.select(*cols)
+
+
+def _pq_train(base: DataFrame, n_blocks: int, k: int, n_iters: int):
+    """Shared PQ codebook trainer → (centroids[b][c] sub-vectors, d_b)."""
     init_rows = (
         base.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
         .limit(k)
@@ -178,18 +204,6 @@ def pq_train_encode(
         for b in range(n_blocks)
     ]
 
-    def _block_best(b: int):
-        sub = F.slice(F.col("_v"), b * d_b + 1, d_b)
-        return _best_centroid(sub, centroids[b])
-
-    def _assigned() -> DataFrame:
-        cols = [F.col("_id"), F.col("_v")]
-        for b in range(n_blocks):
-            best = _block_best(b)
-            cols.append(best["cluster"].alias(f"c{b}"))
-            cols.append(best["dist_micros"].alias(f"d{b}"))
-        return base.select(*cols)
-
     for _ in range(n_iters):
         # localCheckpoint cuts projection collapse: without it Catalyst
         # inlines all n_blocks argmin mega-expressions into the exploded
@@ -197,7 +211,11 @@ def pq_train_encode(
         # 500 rows; 2 s with the barrier). Same per-round state
         # materialization discipline as operators/cc.py.
         code_arr = F.array(*[F.col(f"c{b}") for b in range(n_blocks)])
-        a = _assigned().select(code_arr.alias("codes"), "_v").localCheckpoint()
+        a = (
+            _pq_assigned(base, centroids, d_b)
+            .select(code_arr.alias("codes"), "_v")
+            .localCheckpoint()
+        )
         new_rows = (
             a.select("codes", F.posexplode(F.col("_v")).alias("slot", "val"))
             .select(
@@ -225,12 +243,88 @@ def pq_train_encode(
             for b in range(n_blocks)
         ]
 
-    final = _assigned()
-    recon = F.col("d0")
-    for b in range(1, n_blocks):
-        recon = recon + F.col(f"d{b}")
-    return final.select(
-        F.col("_id").alias(id_col),
+    return centroids, d_b
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_blocks: int = 8,
+    k_codebook: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """→ (query_id, neighbor_id, approx_micros, rank): PQ asymmetric-
+    distance (ADC) top-k search — train codebooks, encode the corpus to
+    n_blocks codes, precompute each query's per-block distance TABLE
+    (k_codebook micros-rounded entries), then score every corpus vector
+    as an INTEGER table-lookup sum. The Jégou et al. 2011 search path:
+    the corpus is touched only through its codes, never its floats.
+
+    Scale shape: the encoded corpus is n_blocks ints per row; the query
+    tables (queries × n_blocks × k_codebook ints) broadcast; scoring is
+    a zero-shuffle projection of integer lookups + adds — exact replay
+    on both engines since every table entry and code is an integer.
+    The final per-query rank is a window over the scored rows; at real
+    scale the two-phase per-partition top-k reduction (similarity.
+    cosine_topk's shape) slots in front unchanged.
+    """
+    base = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    centroids, d_b = _pq_train(base, n_blocks, k_codebook, n_iters)
+    enc = _pq_assigned(base, centroids, d_b).select(
+        F.col("_id"),
         F.array(*[F.col(f"c{b}") for b in range(n_blocks)]).alias("codes"),
-        recon.alias("recon_micros"),
+    )
+
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    # Closure factory, NOT `lambda c, sub=sub`: a two-parameter lambda
+    # would receive (element, array_index) and bind the index as `sub`
+    # (CLAUDE.md invariant).
+    def _tab(sub):
+        return lambda c: F.round(
+            F.aggregate(
+                F.zip_with(sub, c, lambda a, y: (a - y) * (a - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * MICROS
+        ).cast("long")
+
+    tab_cols = []
+    for b in range(n_blocks):
+        sub = F.slice(F.col("_qv"), b * d_b + 1, d_b)
+        cents = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids[b]]
+        )
+        tab_cols.append(F.transform(cents, _tab(sub)))
+    qt = q.select(F.col("_qid"), F.array(*tab_cols).alias("tabs"))
+
+    joined = enc.crossJoin(F.broadcast(qt)).where(F.col("_id") != F.col("_qid"))
+    approx = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("tabs"),
+            lambda code, tab: F.element_at(tab, code + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select(
+        F.col("_qid").alias(query_id_col),
+        F.col("_id").alias("neighbor_id"),
+        approx.alias("approx_micros"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("approx_micros"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

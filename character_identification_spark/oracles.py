@@ -2264,11 +2264,11 @@ FROM ({_argmin(f"c{n_iters}")}) WHERE rn = 1
 SQL_CLUSTER_KMEANS = _kmeans_sql(8, 3, 64)
 
 
-def _pq_sql(n_blocks: int, k: int, n_iters: int, dim: int) -> str:
-    """Twin of cluster.pq_train_encode: per-block Lloyd rounds unrolled,
-    same integer-determinism contract as _kmeans_sql but keyed by
-    (block, cluster); codes string-joined in block order and the
-    reconstruction error summed as exact integers."""
+def _pq_with(n_blocks: int, k: int, n_iters: int, dim: int):
+    """Shared unrolled-CTE PQ trainer for the pq_train_encode /
+    pq_topk twins: per-block Lloyd rounds, same integer-determinism
+    contract as _kmeans_sql but keyed by (block, cluster). Returns
+    (WITH-prefix ending at c{n_iters}, argmin-subquery builder)."""
     d_b = dim // n_blocks
 
     def _argmin(prev: str) -> str:
@@ -2309,7 +2309,7 @@ c{t} AS (
 )"""
         )
     body = ",\n".join(rounds)
-    return f"""
+    prefix = f"""
 WITH e AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings
@@ -2329,16 +2329,64 @@ c0 AS (
          CAST(round(v[t.i] * 1000000) AS BIGINT) AS m
   FROM init, unnest(generate_series(1, len(v))) AS t(i)
 ),
-{body}
+{body}"""
+    return prefix, _argmin
+
+
+def _pq_codes_sql(n_blocks: int, k: int, n_iters: int, dim: int) -> str:
+    prefix, argmin = _pq_with(n_blocks, k, n_iters, dim)
+    return f"""{prefix}
 SELECT vec_id,
        string_agg(CAST(c AS VARCHAR), ',' ORDER BY b) AS codes_str,
        CAST(sum(dist_m) AS BIGINT) AS recon_micros
-FROM ({_argmin(f"c{n_iters}")}) WHERE rn = 1
+FROM ({argmin(f"c{n_iters}")}) WHERE rn = 1
 GROUP BY vec_id
 """
 
 
-SQL_CLUSTER_PQ_CODES = _pq_sql(8, 16, 2, 64)
+def _pq_topk_sql(
+    n_blocks: int, k: int, n_iters: int, dim: int, n_queries: int, topk: int
+) -> str:
+    """Twin of cluster.pq_topk: ADC search — query-side per-block
+    distance tables against the final codebooks, corpus scored through
+    its codes only (exact integer lookup sums), per-query
+    (approx asc, neighbor) rank."""
+    prefix, argmin = _pq_with(n_blocks, k, n_iters, dim)
+    return f"""{prefix},
+enc AS (
+  SELECT vec_id, b, c AS code FROM ({argmin(f"c{n_iters}")}) WHERE rn = 1
+),
+qs AS (
+  SELECT vec_id AS query_id, b, slot_in, val FROM esb
+  WHERE vec_id < {n_queries}
+),
+tabs AS (
+  SELECT qs.query_id, cp.b, cp.c,
+         CAST(round(sum((qs.val - cp.m / 1000000.0) *
+                        (qs.val - cp.m / 1000000.0)) * 1000000)
+              AS BIGINT) AS dm
+  FROM qs JOIN c{n_iters} cp
+    ON qs.b = cp.b AND qs.slot_in = cp.slot_in
+  GROUP BY qs.query_id, cp.b, cp.c
+),
+approx AS (
+  SELECT t.query_id, e.vec_id AS neighbor_id,
+         CAST(sum(t.dm) AS BIGINT) AS approx_micros
+  FROM enc e JOIN tabs t ON e.b = t.b AND e.code = t.c
+  WHERE e.vec_id <> t.query_id
+  GROUP BY t.query_id, e.vec_id
+)
+SELECT query_id, neighbor_id, approx_micros,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_micros, neighbor_id)
+            AS INTEGER) AS rank
+FROM approx
+QUALIFY rank <= {topk}
+"""
+
+
+SQL_CLUSTER_PQ_CODES = _pq_codes_sql(8, 16, 2, 64)
+SQL_SIMILARITY_PQ_TOPK = _pq_topk_sql(8, 16, 2, 64, 8, 10)
 
 
 # twin of q_sketch_hll (sketch.hll_distinct): register j = first 2 md5
@@ -2481,6 +2529,7 @@ ORACLES = {
     "sketch_cms": SQL_SKETCH_CMS,
     "cluster_kmeans": SQL_CLUSTER_KMEANS,
     "cluster_pq_codes": SQL_CLUSTER_PQ_CODES,
+    "similarity_pq_topk": SQL_SIMILARITY_PQ_TOPK,
     "graph_communities": SQL_GRAPH_COMMUNITIES,
     "search_hybrid": SQL_SEARCH_HYBRID,
     "similarity_jl_project": SQL_SIMILARITY_JL_PROJECT,

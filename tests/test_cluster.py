@@ -101,3 +101,70 @@ def test_pq_rejects_indivisible_dim(spark):
 
     with pytest.raises(ValueError):
         pq_train_encode(_emb(spark, np.ones((4, 7))), n_blocks=2, k=2, n_iters=1)
+
+
+def test_pq_topk_adc_exact_when_codebook_is_corpus(spark):
+    # 16 vectors, k_codebook=16 → every vector IS its own codeword, so
+    # the ADC table-lookup distance equals the true squared L2 distance
+    # block-rounded to micros; the approximate ranking must therefore
+    # match the exact ranking under the same rounding.
+    from character_identification_spark.operators.cluster import pq_topk
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(16, 8)
+    emb = _emb(spark, vecs)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(emb, queries, k=5, n_blocks=2, k_codebook=16, n_iters=1).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"], "query must exclude itself"
+        by_q.setdefault(r["query_id"], []).append(r)
+    d_b = vecs.shape[1] // 2
+    fvec = [[float(x) for x in v] for v in vecs]  # match float32 ingest
+    f32 = np.asarray(fvec, dtype=np.float32).astype(np.float64)
+    # Codewords are micros-quantized corpus vectors (the engine's
+    # integer-determinism contract), so the reference distance is
+    # query-vs-QUANTIZED-codeword, block-rounded.
+    quant = np.round(f32 * 1e6) / 1e6
+    for qid, rows in by_q.items():
+        exact = []
+        for j in range(16):
+            if j == qid:
+                continue
+            dm = sum(
+                int(round(np.sum((f32[qid, b * d_b:(b + 1) * d_b]
+                                  - quant[j, b * d_b:(b + 1) * d_b]) ** 2) * 1e6))
+                for b in range(2)
+            )
+            exact.append((dm, j))
+        exact.sort()
+        got = [(r["approx_micros"], r["neighbor_id"])
+               for r in sorted(rows, key=lambda r: r["rank"])]
+        assert got == exact[:5]
+
+
+def test_pq_topk_deterministic_and_ranked(spark):
+    from character_identification_spark.operators.cluster import pq_topk
+
+    rng = np.random.RandomState(12)
+    emb = _emb(spark, rng.randn(60, 8))
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def run():
+        return sorted(
+            map(tuple, pq_topk(emb, queries, k=7, n_blocks=4,
+                               k_codebook=8, n_iters=2).collect())
+        )
+
+    a, b = run(), run()
+    assert a == b
+    ranks = {}
+    for qid, _nid, _am, rank in a:
+        ranks.setdefault(qid, []).append(rank)
+    for qid, rs in ranks.items():
+        assert sorted(rs) == list(range(1, 8))
