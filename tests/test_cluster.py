@@ -146,6 +146,51 @@ def test_pq_topk_adc_exact_when_codebook_is_corpus(spark):
         assert got == exact[:5]
 
 
+def test_pq_topk_recall_gates(spark):
+    """Measured recall@10 vs the exact-L2 ranking (BENCH.md table;
+    everything md5-deterministic, so bounds = measured − margin).
+    The two PQ quality knobs must behave: more blocks (finer
+    sub-quantizers) and more training iterations raise recall."""
+    import os
+    import pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(sf):
+        pytest.skip("testdata absent")
+    from character_identification_spark.operators.cluster import pq_topk
+
+    e = spark.read.parquet(sf + "/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    ).cache()
+    rows = e.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    ids = sorted(vecs)
+    M = np.stack([vecs[i] for i in ids])
+    exact = {}
+    for qi in range(8):
+        d = np.sum((M - M[ids.index(qi)]) ** 2, axis=1)
+        order = [j for j in np.argsort(d, kind="stable") if ids[j] != qi][:10]
+        exact[qi] = {ids[j] for j in order}
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def recall(n_blocks, n_iters):
+        got = {}
+        for r in pq_topk(e, q, k=10, n_blocks=n_blocks, k_codebook=16,
+                         n_iters=n_iters).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(exact[qi] & got.get(qi, set())) for qi in range(8)) / 80.0
+
+    r4b = recall(4, 2)   # measured 0.125
+    r8b = recall(8, 2)   # measured 0.175 (contract config)
+    r16b = recall(16, 2)  # measured 0.388
+    assert r8b >= 0.14 and r16b >= 0.32, (r4b, r8b, r16b)
+    assert r4b <= r8b <= r16b, (r4b, r8b, r16b)
+    assert recall(8, 4) >= r8b  # measured 0.212: training helps
+    e.unpersist()
+
+
 def test_pq_topk_deterministic_and_ranked(spark):
     from character_identification_spark.operators.cluster import pq_topk
 
