@@ -878,6 +878,24 @@ def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries, k=10, n_blocks=8, k_codebook=16, n_iters=2)
 
 
+def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 (cluster.ivfpq_topk): the FAISS-style composition —
+    a 16-cell md5-exemplar inverted file prunes to nprobe=4 probed
+    cells per query, then PQ asymmetric-distance scores the survivors
+    through their 8 integer codes only. Every cell id, probe set, code
+    and ADC distance is an integer, so the ranking replays exactly."""
+    from character_identification_spark.operators.cluster import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(
+        emb, queries, k=10, n_centroids=16, nprobe=4,
+        n_blocks=8, k_codebook=16, n_iters=2,
+    )
+
+
 def q_similarity_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection 64→8 dims
     (similarity.jl_project): md5-derived plane family, zero-shuffle
@@ -1603,6 +1621,7 @@ QUERIES = {
     "similarity_jl_project": q_similarity_jl_project,
     "cluster_pq_codes": q_cluster_pq_codes,
     "similarity_pq_topk": q_similarity_pq_topk,
+    "similarity_ivfpq": q_similarity_ivfpq,
     "blocklist_filter": q_blocklist_filter,
     "bpe_pair_counts": q_bpe_pair_counts,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -285,6 +285,26 @@ def pq_topk(
         F.col(query_id_col).alias("_qid"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
     )
+    qt = _adc_tables(q, centroids, d_b)
+
+    joined = enc.crossJoin(F.broadcast(qt)).where(F.col("_id") != F.col("_qid"))
+    scored = joined.select(
+        F.col("_qid").alias(query_id_col),
+        F.col("_id").alias("neighbor_id"),
+        _adc_score().alias("approx_micros"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("approx_micros"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _adc_tables(q: DataFrame, centroids, d_b: int) -> DataFrame:
+    """(_qid, tabs): per-query per-block integer distance tables against
+    the PQ codebooks — tabs[b][c] = micros-rounded ||q_b − centroid||²."""
+
     # Closure factory, NOT `lambda c, sub=sub`: a two-parameter lambda
     # would receive (element, array_index) and bind the index as `sub`
     # (CLAUDE.md invariant).
@@ -299,16 +319,18 @@ def pq_topk(
         ).cast("long")
 
     tab_cols = []
-    for b in range(n_blocks):
+    for b in range(len(centroids)):
         sub = F.slice(F.col("_qv"), b * d_b + 1, d_b)
         cents = F.array(
             *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids[b]]
         )
         tab_cols.append(F.transform(cents, _tab(sub)))
-    qt = q.select(F.col("_qid"), F.array(*tab_cols).alias("tabs"))
+    return q.select(F.col("_qid"), F.array(*tab_cols).alias("tabs"))
 
-    joined = enc.crossJoin(F.broadcast(qt)).where(F.col("_id") != F.col("_qid"))
-    approx = F.aggregate(
+
+def _adc_score():
+    """codes ⊗ tabs → integer ADC distance (lookup-sum projection)."""
+    return F.aggregate(
         F.zip_with(
             F.col("codes"),
             F.col("tabs"),
@@ -317,10 +339,99 @@ def pq_topk(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_blocks: int = 8,
+    k_codebook: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """→ (query_id, neighbor_id, approx_micros, rank): IVF-PQ — the
+    FAISS-style composition of the engine's two ANN tiers: an inverted
+    file over a coarse quantizer PRUNES (each query probes its nprobe
+    nearest coarse cells, |corpus|·nprobe/n_centroids candidates in
+    expectation), and product-quantization ADC SCORES the survivors
+    through their n_blocks integer codes only (the memory tier — corpus
+    floats are never touched at query time). Jégou et al. 2011 §IV's
+    IVFADC with by_residual=false: codes quantize the raw vectors, not
+    the cell residuals, which keeps one global codebook and an exactly
+    replayable integer contract.
+
+    Determinism: the coarse codebook is the md5-exemplar rule
+    (n_centroids lowest (md5(id), id) rows, micros-quantized) with
+    micros-rounded L2 argmin + index tie-break — the kmeans/PQ contract
+    — so cell assignment, probe sets, codes, and every ADC distance are
+    integers both engines reproduce.
+
+    Scale shape: ONE fused zero-shuffle projection computes each corpus
+    row's cell AND its PQ codes (literal centroids, whole-stage
+    codegen); the index is (cell, 8 codes) per row; the query side
+    (queries × nprobe cells + integer tables) broadcasts; scoring is a
+    cell-equality join + integer lookup-sum; only the rank window
+    shuffles, and only candidate rows reach it."""
+    base = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    coarse_rows = (
+        base.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(n_centroids)
+        .select(
+            F.transform(
+                F.col("_v"), lambda x: F.round(x * MICROS).cast("long")
+            ).alias("m")
+        )
+        .collect()
+    )
+    coarse = [[m / MICROS for m in r["m"]] for r in coarse_rows]
+    centroids, d_b = _pq_train(base, n_blocks, k_codebook, n_iters)
+
+    # index build: cell + codes in one literal-centroid projection
+    enc = _pq_assigned(base, centroids, d_b).select(
+        F.col("_id"),
+        _best_centroid(F.col("_v"), coarse)["cluster"].alias("cell"),
+        F.array(*[F.col(f"c{b}") for b in range(n_blocks)]).alias("codes"),
+    )
+
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    # probe set: nprobe nearest coarse cells by (dist_micros, cell)
+    ccents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    cdists = F.transform(
+        ccents,
+        lambda c, i: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("_qv"), c, lambda a, y: (a - y) * (a - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * MICROS
+            )
+            .cast("long")
+            .alias("dist_micros"),
+            i.alias("cell"),
+        ),
+    )
+    probes = q.select(
+        "_qid", F.explode(F.slice(F.array_sort(cdists), 1, nprobe)).alias("_p")
+    ).select("_qid", F.col("_p.cell").alias("cell"))
+    qside = _adc_tables(q, centroids, d_b).join(probes, "_qid")
+
+    joined = enc.join(F.broadcast(qside), "cell").where(F.col("_id") != F.col("_qid"))
     scored = joined.select(
         F.col("_qid").alias(query_id_col),
         F.col("_id").alias("neighbor_id"),
-        approx.alias("approx_micros"),
+        _adc_score().alias("approx_micros"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.asc("approx_micros"), F.asc("neighbor_id")

@@ -2385,8 +2385,96 @@ QUALIFY rank <= {topk}
 """
 
 
+def _ivfpq_topk_sql(
+    n_blocks: int,
+    k: int,
+    n_iters: int,
+    dim: int,
+    n_centroids: int,
+    nprobe: int,
+    n_queries: int,
+    topk: int,
+) -> str:
+    """Twin of cluster.ivfpq_topk: IVF coarse pruning + PQ ADC scoring.
+    Coarse codebook = the same md5-exemplar rule micros-quantized; cell
+    assignment/probing = full-dim micros-rounded L2 argmin with cell
+    tie-break (the kmeans contract, proven sum-order-safe at dim=64);
+    candidates = corpus rows in a probed cell; scoring = the pq_topk
+    integer table-lookup sums restricted to candidates."""
+    d_b = dim // n_blocks
+    prefix, argmin = _pq_with(n_blocks, k, n_iters, dim)
+    return f"""{prefix},
+enc AS (
+  SELECT vec_id, b, c AS code FROM ({argmin(f"c{n_iters}")}) WHERE rn = 1
+),
+coarse_init AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cell, v
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+),
+ccents AS (
+  SELECT cell, t.i - 1 AS slot, CAST(round(v[t.i] * 1000000) AS BIGINT) AS m
+  FROM coarse_init, unnest(generate_series(1, len(v))) AS t(i)
+),
+cdist AS (
+  SELECT es.vec_id, c.cell,
+         CAST(round(sum((es.val - c.m / 1000000.0) *
+                        (es.val - c.m / 1000000.0)) * 1000000)
+              AS BIGINT) AS dm
+  FROM (SELECT vec_id, b * {d_b} + slot_in AS slot, val FROM esb) es
+  JOIN ccents c ON es.slot = c.slot
+  GROUP BY es.vec_id, c.cell
+),
+cassign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cell) AS rn
+    FROM cdist) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cell) AS rn
+    FROM cdist WHERE vec_id < {n_queries}) WHERE rn <= {nprobe}
+),
+qs AS (
+  SELECT vec_id AS query_id, b, slot_in, val FROM esb
+  WHERE vec_id < {n_queries}
+),
+tabs AS (
+  SELECT qs.query_id, cp.b, cp.c,
+         CAST(round(sum((qs.val - cp.m / 1000000.0) *
+                        (qs.val - cp.m / 1000000.0)) * 1000000)
+              AS BIGINT) AS dm
+  FROM qs JOIN c{n_iters} cp
+    ON qs.b = cp.b AND qs.slot_in = cp.slot_in
+  GROUP BY qs.query_id, cp.b, cp.c
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN cassign a ON p.cell = a.cell
+  WHERE a.vec_id <> p.query_id
+),
+approx AS (
+  SELECT t.query_id, e.vec_id AS neighbor_id,
+         CAST(sum(t.dm) AS BIGINT) AS approx_micros
+  FROM enc e
+  JOIN cand cd ON cd.neighbor_id = e.vec_id
+  JOIN tabs t ON e.b = t.b AND e.code = t.c AND t.query_id = cd.query_id
+  GROUP BY t.query_id, e.vec_id
+)
+SELECT query_id, neighbor_id, approx_micros,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_micros, neighbor_id)
+            AS INTEGER) AS rank
+FROM approx
+QUALIFY rank <= {topk}
+"""
+
+
 SQL_CLUSTER_PQ_CODES = _pq_codes_sql(8, 16, 2, 64)
 SQL_SIMILARITY_PQ_TOPK = _pq_topk_sql(8, 16, 2, 64, 8, 10)
+SQL_SIMILARITY_IVFPQ = _ivfpq_topk_sql(8, 16, 2, 64, 16, 4, 8, 10)
 
 
 # twin of q_sketch_hll (sketch.hll_distinct): register j = first 2 md5
@@ -2530,6 +2618,7 @@ ORACLES = {
     "cluster_kmeans": SQL_CLUSTER_KMEANS,
     "cluster_pq_codes": SQL_CLUSTER_PQ_CODES,
     "similarity_pq_topk": SQL_SIMILARITY_PQ_TOPK,
+    "similarity_ivfpq": SQL_SIMILARITY_IVFPQ,
     "graph_communities": SQL_GRAPH_COMMUNITIES,
     "search_hybrid": SQL_SEARCH_HYBRID,
     "similarity_jl_project": SQL_SIMILARITY_JL_PROJECT,

@@ -146,6 +146,49 @@ def test_pq_topk_adc_exact_when_codebook_is_corpus(spark):
         assert got == exact[:5]
 
 
+def test_ivfpq_full_probe_equals_pure_adc(spark):
+    # nprobe = n_centroids probes every cell → the candidate set is the
+    # whole corpus and IVF-PQ must reproduce the pure ADC ranking
+    # value-for-value (same codebooks, same integer tables).
+    from character_identification_spark.operators.cluster import ivfpq_topk, pq_topk
+
+    rng = np.random.RandomState(21)
+    emb = _emb(spark, rng.randn(50, 8))
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=6, n_blocks=4, k_codebook=8, n_iters=1)
+    a = sorted(map(tuple, ivfpq_topk(emb, queries, n_centroids=8, nprobe=8,
+                                     **kw).collect()))
+    b = sorted(map(tuple, pq_topk(emb, queries, **kw).collect()))
+    assert a == b
+
+
+def test_ivfpq_shape_and_determinism(spark):
+    from character_identification_spark.operators.cluster import ivfpq_topk
+
+    rng = np.random.RandomState(22)
+    emb = _emb(spark, rng.randn(80, 8))
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def run():
+        return sorted(map(tuple, ivfpq_topk(
+            emb, queries, k=5, n_centroids=8, nprobe=3,
+            n_blocks=4, k_codebook=8, n_iters=1).collect()))
+
+    a, b = run(), run()
+    assert a == b
+    per = {}
+    for qid, nid, _am, rank in a:
+        assert nid != qid
+        per.setdefault(qid, []).append(rank)
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+
+
 def test_pq_topk_recall_gates(spark):
     """Measured recall@10 vs the exact-L2 ranking (BENCH.md table;
     everything md5-deterministic, so bounds = measured − margin).
