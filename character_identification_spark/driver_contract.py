@@ -844,6 +844,22 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (graph.bfs_distances, 4 fixed
+    rounds) from seeds {0,1,2,3} over the undirected kNN graph —
+    frontier-joined per round (only nodes first reached last round
+    drive the next join), anti-join keeps first = minimum distance;
+    the oracle replays it as unrolled min-distance rounds."""
+    from character_identification_spark.operators.graph import bfs_distances
+
+    e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
+    edges = knn_graph(e, k=5, n_planes=4, n_tables=2, multiprobe=True).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    seeds = e.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("node"))
+    return bfs_distances(edges, seeds, n_rounds=4)
+
+
 def q_cluster_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization 64d → 8 codes of k=16 (cluster.
     pq_train_encode, Jégou et al. 2011, 2 fused Lloyd rounds): all 8
@@ -1622,6 +1638,7 @@ QUERIES = {
     "cluster_pq_codes": q_cluster_pq_codes,
     "similarity_pq_topk": q_similarity_pq_topk,
     "similarity_ivfpq": q_similarity_ivfpq,
+    "graph_bfs": q_graph_bfs,
     "blocklist_filter": q_blocklist_filter,
     "bpe_pair_counts": q_bpe_pair_counts,
     "winnow_fingerprint": q_winnow_fingerprint,

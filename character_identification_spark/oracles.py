@@ -2045,6 +2045,47 @@ r0 AS (SELECT node, 1.0 / (SELECT c FROM nn) AS rank FROM nodes)"""
 SQL_GRAPH_PAGERANK = _pagerank_sql(3, 0.85)
 
 
+# twin of q_graph_bfs (graph.bfs_distances): unrolled min-distance
+# rounds over the undirected knn edges — BFS layers ARE the hop-
+# distance minima, so the engine's frontier/anti-join formulation and
+# this whole-table relaxation agree exactly at the same round count.
+def _bfs_sql(n_rounds: int = 4, n_seeds: int = 4) -> str:
+    knn = SQL_SIMILARITY_KNN_GRAPH
+    parts = [
+        f"""WITH g AS (
+  SELECT query_id AS src, neighbor_id AS dst FROM ({knn})
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM g WHERE src <> dst
+),
+adj AS (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL
+  SELECT b AS node, a AS nbr FROM und
+),
+d0 AS (
+  SELECT CAST(vec_id AS BIGINT) AS node, 0 AS dist
+  FROM embeddings WHERE vec_id < {n_seeds}
+)"""
+    ]
+    for t in range(1, n_rounds + 1):
+        parts.append(
+            f"""d{t} AS (
+  SELECT node, CAST(min(dist) AS INTEGER) AS dist FROM (
+    SELECT node, dist FROM d{t - 1}
+    UNION ALL
+    SELECT adj.nbr AS node, d.dist + 1 AS dist
+    FROM adj JOIN d{t - 1} d ON adj.node = d.node
+  ) GROUP BY node
+)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT node, dist FROM d{n_rounds}"
+
+
+SQL_GRAPH_BFS = _bfs_sql(4, 4)
+
+
 # twin of q_graph_triangles: undirected canonical edges from the knn
 # graph, ordered two-hop join a<b<c, corner explode
 SQL_GRAPH_TRIANGLES = f"""
@@ -2612,6 +2653,7 @@ ORACLES = {
     "similarity_knn_graph": SQL_SIMILARITY_KNN_GRAPH,
     "bpe_segment_counts": SQL_BPE_SEGMENT_COUNTS,
     "graph_pagerank": SQL_GRAPH_PAGERANK,
+    "graph_bfs": SQL_GRAPH_BFS,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "sketch_hll": SQL_SKETCH_HLL,
     "sketch_cms": SQL_SKETCH_CMS,

@@ -79,3 +79,43 @@ def test_label_propagation_min_label_tiebreak(spark):
     edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     out = {r["node"]: r["community"] for r in label_propagation(edges, n_iters=1).collect()}
     assert out == {0: 1, 1: 0, 2: 1}
+
+
+def test_bfs_distances_path_graph(spark):
+    """Path 0-1-2-3-4-5 with seed {0}: dist = node index, truncated at
+    n_rounds; node 6 is disconnected and must be absent."""
+    from character_identification_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)] + [(6, 6)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = {r["node"]: r["dist"] for r in
+           bfs_distances(edges, seeds, n_rounds=3).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_distances_multi_source_min(spark):
+    """Seeds {0, 5} on the path 0-1-2-3-4-5: every node takes the hop
+    distance to its NEAREST seed (the min), and direction is ignored."""
+    from character_identification_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (5,)], "node long")
+    out = {r["node"]: r["dist"] for r in
+           bfs_distances(edges, seeds, n_rounds=4).collect()}
+    assert out == {0: 0, 5: 0, 1: 1, 4: 1, 2: 2, 3: 2}
+
+
+def test_bfs_distances_exhausted_frontier_deterministic(spark):
+    """Rounds past graph exhaustion change nothing, and repeated runs
+    are identical."""
+    from character_identification_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    a = sorted(map(tuple, bfs_distances(edges, seeds, n_rounds=2).collect()))
+    b = sorted(map(tuple, bfs_distances(edges, seeds, n_rounds=6).collect()))
+    assert a == b == [(0, 0), (1, 1), (2, 2)]
