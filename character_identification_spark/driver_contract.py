@@ -844,6 +844,18 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def q_cluster_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez farthest-first k-center (cluster.kcenter_fit_predict,
+    k=8): md5-lowest seed, then 7 max-min-distance selections — each one
+    zero-shuffle literal-centroid scan + TakeOrderedAndProject — and the
+    final nearest-seed assignment; integer-determined throughout, so the
+    seed sequence and assignment replay in the unrolled-CTE twin."""
+    from character_identification_spark.operators.cluster import kcenter_fit_predict
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kcenter_fit_predict(emb, k=8)
+
+
 def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distances (graph.bfs_distances, 4 fixed
     rounds) from seeds {0,1,2,3} over the undirected kNN graph —
@@ -1639,6 +1651,7 @@ QUERIES = {
     "similarity_pq_topk": q_similarity_pq_topk,
     "similarity_ivfpq": q_similarity_ivfpq,
     "graph_bfs": q_graph_bfs,
+    "cluster_kcenter": q_cluster_kcenter,
     "blocklist_filter": q_blocklist_filter,
     "bpe_pair_counts": q_bpe_pair_counts,
     "winnow_fingerprint": q_winnow_fingerprint,

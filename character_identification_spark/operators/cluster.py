@@ -127,6 +127,56 @@ def kmeans_fit_predict(
     )
 
 
+def kcenter_fit_predict(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (id, cluster, dist_micros): Gonzalez farthest-first traversal —
+    the deterministic k-center seeding (a 2-approximation for the
+    k-center objective, Gonzalez 1985) this engine uses where k-means++
+    would reach for RNG: seed 0 is the md5-lowest row, each next seed is
+    the point FARTHEST from the current seed set (max min-distance, ties
+    to the lowest id). The final assignment maps every row to its
+    nearest seed.
+
+    Every selection round is integer-determined: seeds are
+    micros-quantized, distances micros-rounded (the kmeans contract), so
+    the winner of each (dmin desc, id asc) argmax — and therefore the
+    whole seed sequence — replays exactly in the unrolled-CTE twin.
+
+    Scale shape: k−1 corpus scans, each a zero-shuffle literal-centroid
+    projection feeding ONE TakeOrderedAndProject (per-partition top-1 +
+    driver merge of partition winners — no sort, no exchange); the
+    result assignment is the same codegen projection kmeans uses. The
+    driver holds k vectors. Standard k-center cost: O(k·|corpus|).
+    """
+    base = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    quant = F.transform(F.col("_v"), lambda x: F.round(x * MICROS).cast("long"))
+    first = (
+        base.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(1)
+        .select(quant.alias("m"))
+        .collect()
+    )
+    cents = [[m / MICROS for m in first[0]["m"]]]
+    for _ in range(1, k):
+        nxt = (
+            _assign(base, "_v", cents)
+            .orderBy(F.desc("dist_micros"), F.asc("_id"))
+            .limit(1)
+            .select(quant.alias("m"))
+            .collect()
+        )
+        cents.append([m / MICROS for m in nxt[0]["m"]])
+    return _assign(base, "_v", cents).select(
+        F.col("_id").alias(id_col), "cluster", "dist_micros"
+    )
+
+
 def pq_train_encode(
     emb: DataFrame,
     n_blocks: int = 8,

@@ -2305,6 +2305,67 @@ FROM ({_argmin(f"c{n_iters}")}) WHERE rn = 1
 SQL_CLUSTER_KMEANS = _kmeans_sql(8, 3, 64)
 
 
+def _kcenter_sql(k: int) -> str:
+    """Twin of cluster.kcenter_fit_predict(k): Gonzalez farthest-first —
+    seed 0 = the md5-lowest row micros-quantized; each round t computes
+    every row's min distance to the seed set s{t-1} (micros-rounded, the
+    kmeans contract) and appends the (dmin desc, vec_id asc) winner; the
+    final argmin assignment ties to the lowest seed rank."""
+    rounds = []
+    for t in range(1, k):
+        rounds.append(
+            f"""d{t} AS (
+  SELECT vec_id, min(dm) AS dmin FROM (
+    SELECT es.vec_id, s.r,
+           CAST(round(sum((es.val - s.m / 1000000.0) *
+                          (es.val - s.m / 1000000.0)) * 1000000)
+                AS BIGINT) AS dm
+    FROM es JOIN s{t - 1} s ON es.slot = s.slot
+    GROUP BY es.vec_id, s.r
+  ) GROUP BY vec_id
+),
+w{t} AS (SELECT vec_id FROM d{t} ORDER BY dmin DESC, vec_id LIMIT 1),
+s{t} AS (
+  SELECT * FROM s{t - 1}
+  UNION ALL
+  SELECT {t} AS r, es.slot, CAST(round(es.val * 1000000) AS BIGINT) AS m
+  FROM es JOIN w{t} USING (vec_id)
+)"""
+        )
+    body = ",\n".join(rounds)
+    return f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+es AS (
+  SELECT vec_id, t.i - 1 AS slot, v[t.i] AS val
+  FROM e, unnest(generate_series(1, len(v))) AS t(i)
+),
+s0 AS (
+  SELECT 0 AS r, t.i - 1 AS slot, CAST(round(v[t.i] * 1000000) AS BIGINT) AS m
+  FROM (SELECT v FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+       unnest(generate_series(1, len(v))) AS t(i)
+),
+{body}
+SELECT vec_id, CAST(r AS INTEGER) AS cluster, dm AS dist_micros FROM (
+  SELECT es.vec_id, s.r,
+         CAST(round(sum((es.val - s.m / 1000000.0) *
+                        (es.val - s.m / 1000000.0)) * 1000000)
+              AS BIGINT) AS dm,
+         row_number() OVER (PARTITION BY es.vec_id
+                            ORDER BY CAST(round(sum((es.val - s.m / 1000000.0) *
+                                                    (es.val - s.m / 1000000.0))
+                                          * 1000000) AS BIGINT), s.r) AS rn
+  FROM es JOIN s{k - 1} s ON es.slot = s.slot
+  GROUP BY es.vec_id, s.r
+) WHERE rn = 1
+"""
+
+
+SQL_CLUSTER_KCENTER = _kcenter_sql(8)
+
+
 def _pq_with(n_blocks: int, k: int, n_iters: int, dim: int):
     """Shared unrolled-CTE PQ trainer for the pq_train_encode /
     pq_topk twins: per-block Lloyd rounds, same integer-determinism
@@ -2658,6 +2719,7 @@ ORACLES = {
     "sketch_hll": SQL_SKETCH_HLL,
     "sketch_cms": SQL_SKETCH_CMS,
     "cluster_kmeans": SQL_CLUSTER_KMEANS,
+    "cluster_kcenter": SQL_CLUSTER_KCENTER,
     "cluster_pq_codes": SQL_CLUSTER_PQ_CODES,
     "similarity_pq_topk": SQL_SIMILARITY_PQ_TOPK,
     "similarity_ivfpq": SQL_SIMILARITY_IVFPQ,

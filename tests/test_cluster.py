@@ -256,3 +256,42 @@ def test_pq_topk_deterministic_and_ranked(spark):
         ranks.setdefault(qid, []).append(rank)
     for qid, rs in ranks.items():
         assert sorted(rs) == list(range(1, 8))
+
+
+def test_kcenter_covers_separated_blobs(spark):
+    # Farthest-first with k = #blobs must place exactly one seed per
+    # blob (the 2-approximation guarantee is exact for well-separated
+    # blobs), so each blob maps to a single distinct cluster.
+    from character_identification_spark.operators.cluster import kcenter_fit_predict
+
+    rng = np.random.RandomState(31)
+    blobs = [rng.randn(15, 4) * 0.05 + center for center in
+             ([10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0])]
+    out = kcenter_fit_predict(_emb(spark, np.vstack(blobs)), k=3).collect()
+    label = {r["vec_id"]: r["cluster"] for r in out}
+    for b in range(3):
+        members = {label[i] for i in range(15 * b, 15 * (b + 1))}
+        assert len(members) == 1, f"blob {b} split across {members}"
+    assert len({label[0], label[15], label[30]}) == 3
+
+
+def test_kcenter_deterministic_and_max_radius_shrinks(spark):
+    from character_identification_spark.operators.cluster import kcenter_fit_predict
+
+    rng = np.random.RandomState(32)
+    df = _emb(spark, rng.randn(60, 6))
+    a = sorted(map(tuple, kcenter_fit_predict(df, k=4).collect()))
+    b = sorted(map(tuple, kcenter_fit_predict(df, k=4).collect()))
+    assert a == b
+    # the k-center radius (max assignment distance) is non-increasing in k
+    r4 = max(r[2] for r in a)
+    r8 = max(r["dist_micros"] for r in kcenter_fit_predict(df, k=8).collect())
+    assert r8 <= r4
+
+
+def test_kcenter_identical_points(spark):
+    from character_identification_spark.operators.cluster import kcenter_fit_predict
+
+    out = kcenter_fit_predict(_emb(spark, [[3.0, 4.0]] * 6), k=2).collect()
+    assert all(r["dist_micros"] == 0 for r in out)
+    assert {r["cluster"] for r in out} == {0}
