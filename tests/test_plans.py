@@ -250,3 +250,51 @@ def test_pack_sequences_single_window_exchange(spark):
     plan = plan_of(QUERIES["pack_sequences"](spark, SF), mode="simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "rangepartitioning" not in plan, plan
+
+
+@needs_data
+def test_ivfpq_index_build_single_exchange(spark):
+    """IVF-PQ: the index build (cell + 8 PQ codes per corpus row) is one
+    fused literal-centroid projection and the query side broadcasts, so
+    the only hash-partitioning Exchange in the whole query is the final
+    per-query rank window; ADC scoring is Python-free."""
+    from character_identification_spark.driver_contract import QUERIES
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(QUERIES["similarity_ivfpq"](spark, SF), mode="simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@needs_data
+def test_pq_adc_scoring_python_free_single_exchange(spark):
+    """Pure PQ ADC search: corpus scored through codes via broadcast
+    integer tables — one Exchange (the rank window), no Python."""
+    from character_identification_spark.driver_contract import QUERIES
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(QUERIES["similarity_pq_topk"](spark, SF), mode="simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@needs_data
+def test_kcenter_assignment_zero_shuffle(spark):
+    """Gonzalez k-center final assignment: literal seed vectors → the
+    plan has NO Exchange at all and no Python — a pure codegen scan."""
+    from character_identification_spark.driver_contract import QUERIES
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(QUERIES["cluster_kcenter"](spark, SF), mode="simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
