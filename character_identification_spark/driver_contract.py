@@ -1530,6 +1530,22 @@ def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (bloom.bloom_semijoin_stats):
+    high-balance customers (selective build side) compressed into a
+    256-bit / 3-hash md5-pure Bloom filter that prunes the orders scan
+    as a literal-array projection; the 1-row stats compare the pruned
+    pass set against the exact broadcast semi-join — no false
+    negatives by construction, the FP tail measured exactly."""
+    from character_identification_spark.operators.bloom import bloom_semijoin_stats
+
+    build = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    probe = _t(spark, sf_dir, "orders")
+    return bloom_semijoin_stats(
+        build, probe, "c_custkey", "o_custkey", m_bits=256, g=3
+    )
+
+
 def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join singleton fill (SURVEY §2 J7/E2): customers with no
     pending ('P') order — the filter keeps the anti side non-empty."""
@@ -1652,6 +1668,7 @@ QUERIES = {
     "similarity_ivfpq": q_similarity_ivfpq,
     "graph_bfs": q_graph_bfs,
     "cluster_kcenter": q_cluster_kcenter,
+    "bloom_semijoin": q_bloom_semijoin,
     "blocklist_filter": q_blocklist_filter,
     "bpe_pair_counts": q_bpe_pair_counts,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -1,0 +1,134 @@
+"""Deterministic Bloom-filter semi-join reduction (runtime filter).
+
+The classic big-join pruning move at 100 TB: when a selective dimension
+predicate leaves a small build-side key set, compress those keys into an
+m-bit Bloom filter and PRUNE the fact-side scan with a pure projection
+BEFORE the join — survivors (true matches + a bounded false-positive
+tail) are the only rows that ever reach the join exchange. Spark's AQE
+injects this automatically in some shapes (runtime row-level filters);
+this operator is the explicit, engine-replayable form for the shapes it
+doesn't reach, with the false-positive rate measured rather than
+guessed.
+
+Determinism contract: the g hash functions are md5-pure
+(h_long("bloom{i}|" + key) % m_bits — functions/hashing.py, the same
+primitive the Count-Min sketch uses), the filter is m_bits/32 integer
+words built by a bit_or aggregate (32-bit words so no shift ever
+touches the sign bit in either engine), and membership is an integer
+mask test — the DuckDB twin rebuilds the identical words and the
+identical pass set.
+
+Reference anchor: the reference joins dimension resources in memory
+(SURVEY §2.3 J4); this is the scale analog for when the fact side is
+too big to join unpruned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from character_identification_spark.functions.hashing import h_long
+
+WORD_BITS = 32
+
+def _positions(key: Column, m_bits: int, g: int) -> list[Column]:
+    return [
+        h_long(F.concat(F.lit(f"bloom{i}|"), key.cast("string"))) % m_bits
+        for i in range(g)
+    ]
+
+
+def _mask(p: Column) -> Column:
+    # shiftleft() takes a Python int for the shift amount, so a
+    # column-typed bit index goes through a literal mask table instead
+    # (built lazily — F.lit needs an active session)
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(WORD_BITS)])
+    return F.element_at(masks, (p % WORD_BITS).cast("int") + 1)
+
+
+def bloom_filter_words(
+    keys: DataFrame, key_col: str = "key", m_bits: int = 2048, g: int = 3
+) -> list[int]:
+    """Collect the filter as m_bits/32 integer words (driver-side list,
+    index = word number, missing words 0). The aggregate is (word)-keyed
+    bit_or over ≤ g rows per key — map-side combined, output bounded by
+    m_bits/32 rows regardless of key count."""
+    if m_bits % WORD_BITS != 0:
+        raise ValueError(f"m_bits must be a multiple of {WORD_BITS}")
+    pos = keys.select(
+        F.explode(F.array(*_positions(F.col(key_col), m_bits, g))).alias("p")
+    )
+    rows = (
+        pos.select(
+            (F.col("p") / WORD_BITS).cast("int").alias("w"),
+            _mask(F.col("p")).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("m"))
+        .collect()
+    )
+    words = [0] * (m_bits // WORD_BITS)
+    for r in rows:
+        words[r["w"]] = r["m"]
+    return words
+
+
+def bloom_contains(
+    key: Column, words: list[int], m_bits: int = 2048, g: int = 3
+) -> Column:
+    """Membership mask test as a literal-array projection — zero
+    shuffle, whole-stage codegen, no broadcast variable: the filter
+    ships inside the plan itself."""
+    lit_words = F.array(*[F.lit(int(w)) for w in words])
+    cond = None
+    for p in _positions(key, m_bits, g):
+        word = F.element_at(lit_words, (p / WORD_BITS).cast("int") + 1)
+        c = word.bitwiseAND(_mask(p)) != 0
+        cond = c if cond is None else cond & c
+    return cond
+
+
+def bloom_semijoin_stats(
+    build: DataFrame,
+    probe: DataFrame,
+    build_key: str,
+    probe_key: str,
+    m_bits: int = 2048,
+    g: int = 3,
+) -> DataFrame:
+    """→ 1 row (n_build_keys, n_probe_rows, n_pass, n_true, n_false_pos):
+    build the filter over the build side's distinct keys, prune the probe
+    side with the projection, and measure the pruning against the exact
+    broadcast semi-join — n_pass ≥ n_true always (Bloom filters have no
+    false negatives; property-tested), n_false_pos is the measured FP
+    tail the m_bits/g sizing buys.
+
+    Scale shape: the build side collapses to m_bits/32 words (one
+    bounded-output aggregate); the probe side is scanned ONCE with the
+    pass flag and the exact-match flag (broadcast join against the
+    distinct build keys) computed in the same pass — at 100 TB the
+    pruned scan feeds the real join and the stats row is the monitoring
+    side-channel."""
+    keys = build.select(F.col(build_key).alias("k")).distinct()
+    words = bloom_filter_words(keys, "k", m_bits, g)
+    flagged = (
+        probe.select(F.col(probe_key).alias("pk"))
+        .withColumn("pass", bloom_contains(F.col("pk"), words, m_bits, g))
+        .join(
+            F.broadcast(keys.withColumn("matched", F.lit(True))),
+            F.col("pk") == F.col("k"),
+            "left",
+        )
+    )
+    n_keys = keys.count()
+    return flagged.agg(
+        F.lit(n_keys).cast("long").alias("n_build_keys"),
+        F.count(F.lit(1)).cast("long").alias("n_probe_rows"),
+        F.sum(F.col("pass").cast("long")).alias("n_pass"),
+        F.sum(F.coalesce(F.col("matched"), F.lit(False)).cast("long")).alias("n_true"),
+        (
+            F.sum(F.col("pass").cast("long"))
+            - F.sum(F.coalesce(F.col("matched"), F.lit(False)).cast("long"))
+        ).alias("n_false_pos"),
+    )

@@ -1630,6 +1630,61 @@ WHERE NOT EXISTS (
 )
 """
 
+
+def _bloom_semijoin_sql(m_bits: int = 256, g: int = 3) -> str:
+    """Twin of q_bloom_semijoin (bloom.bloom_semijoin_stats over
+    high-balance customers → orders): identical md5 positions
+    ('bloom{i}|key' % m_bits), 32-bit words via bit_or, literal-array
+    membership masks, and the exact semi-join comparison."""
+
+    def _p(i: int, key: str) -> str:
+        h = f"CAST(CAST('0x' || substr(md5('bloom{i}|' || CAST({key} AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT)"
+        return f"({h} % {m_bits})"
+
+    pos_union = "\n  UNION ALL\n".join(
+        f"  SELECT {_p(i, 'k')} AS p FROM bk" for i in range(g)
+    )
+    tests = " AND ".join(
+        f"(warr.arr[{_p(i, 'o.o_custkey')} // 32 + 1]"
+        f" & (CAST(1 AS BIGINT) << CAST({_p(i, 'o.o_custkey')} % 32 AS INTEGER))) <> 0"
+        for i in range(g)
+    )
+    return f"""
+WITH bk AS (
+  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 9900
+),
+pos AS (
+{pos_union}
+),
+wt AS (
+  SELECT p // 32 AS w,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS m
+  FROM pos GROUP BY p // 32
+),
+warr AS (
+  SELECT list(coalesce(wt.m, 0) ORDER BY gs.i) AS arr
+  FROM unnest(generate_series(0, {m_bits // 32 - 1})) AS gs(i)
+  LEFT JOIN wt ON wt.w = gs.i
+),
+flags AS (
+  SELECT ({tests}) AS pass,
+         (bk.k IS NOT NULL) AS matched
+  FROM orders o
+  CROSS JOIN warr
+  LEFT JOIN bk ON o.o_custkey = bk.k
+)
+SELECT CAST((SELECT count(*) FROM bk) AS BIGINT) AS n_build_keys,
+       CAST(count(*) AS BIGINT) AS n_probe_rows,
+       CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END)
+            - sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM flags
+"""
+
+
+SQL_BLOOM_SEMIJOIN = _bloom_semijoin_sql(256, 3)
+
 # --------------------------------------------------------------------------
 # Multimodal plan + cluster pooling
 # --------------------------------------------------------------------------
@@ -2759,6 +2814,7 @@ ORACLES = {
     "order_enrich_broadcast": SQL_ORDER_ENRICH_BROADCAST,
     "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
     "cust_no_orders": SQL_CUST_NO_ORDERS,
+    "bloom_semijoin": SQL_BLOOM_SEMIJOIN,
     "media_frame_plan": SQL_MEDIA_FRAME_PLAN,
     "media_features": SQL_MEDIA_FEATURES,
     "cluster_embeddings": SQL_CLUSTER_EMBEDDINGS,
