@@ -32,6 +32,7 @@ from character_identification_spark.functions.hashing import h_long
 
 WORD_BITS = 32
 
+
 def _positions(key: Column, m_bits: int, g: int) -> list[Column]:
     return [
         h_long(F.concat(F.lit(f"bloom{i}|"), key.cast("string"))) % m_bits
@@ -56,7 +57,7 @@ def bloom_filter_words(
     m_bits/32 rows regardless of key count."""
     if m_bits % WORD_BITS != 0:
         raise ValueError(f"m_bits must be a multiple of {WORD_BITS}")
-    pos = keys.select(
+    pos = keys.filter(F.col(key_col).isNotNull()).select(
         F.explode(F.array(*_positions(F.col(key_col), m_bits, g))).alias("p")
     )
     rows = (
@@ -86,7 +87,9 @@ def bloom_contains(
         word = F.element_at(lit_words, (p / WORD_BITS).cast("int") + 1)
         c = word.bitwiseAND(_mask(p)) != 0
         cond = c if cond is None else cond & c
-    return cond
+    # a NULL key hashes to NULL → NULL cond; a null key is never a
+    # member, so the test must say False, not null
+    return F.coalesce(cond, F.lit(False))
 
 
 def bloom_semijoin_stats(

@@ -52,3 +52,16 @@ def test_bloom_more_bits_fewer_false_positives(spark):
         return r["n_false_pos"]
 
     assert fp(2048) <= fp(128)
+
+
+def test_bloom_null_keys_safe(spark):
+    # Null build keys are ignored; a null probe key is never a member
+    # (False, not null — it must not leak through a NOT filter either).
+    keys = spark.createDataFrame([(1,), (None,), (2,)], "k long")
+    words = bloom_filter_words(keys, "k", m_bits=64, g=2)
+    probe = spark.createDataFrame([(1,), (None,), (99,)], "pk long")
+    passed = probe.filter(bloom_contains(F.col("pk"), words, m_bits=64, g=2))
+    failed = probe.filter(~bloom_contains(F.col("pk"), words, m_bits=64, g=2))
+    assert passed.count() + failed.count() == 3
+    assert (1,) in {tuple(r) for r in passed.collect()}
+    assert (None,) in {tuple(r) for r in failed.collect()}
