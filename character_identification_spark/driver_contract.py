@@ -316,6 +316,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, docs)
 
 
+def q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact prefix-filtered set-similarity join (dedup.
+    prefix_jaccard_pairs, tau=0.7): every Jaccard≥0.7 pair over the
+    augmented dup corpus, found WITHOUT an all-pairs join — candidates
+    collide on rarest-first prefix shingles only, exact Jaccard
+    verifies. The exact (guaranteed-recall) counterpart to
+    dedup_minhash_pairs."""
+    from character_identification_spark.operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(_docs_aug(spark, sf_dir), tau=0.7, n=3)
+
+
 def q_dedup_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VERIFY-ONLY form of the n-gram Jaccard family: exact all-pairs over
     a deterministic 1-in-5 sample — the recall oracle for the bounded
@@ -1615,6 +1627,7 @@ QUERIES = {
     "dedup_spans": q_dedup_spans,
     "decontaminate": q_decontaminate,
     "dedup_ngram_jaccard_verify": q_dedup_ngram_jaccard_verify,
+    "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
     "url_dedup": q_url_dedup,
     "text_repetition": q_text_repetition,

@@ -403,6 +403,78 @@ def dedup_clusters(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id") ->
     )
 
 
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    tau: float = 0.7,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (id1, id2, jaccard): EXACT set-similarity join at threshold tau
+    via prefix filtering (SSJoin / PPJoin family, Chaudhuri et al. 2006;
+    Xiao et al. 2008) — the exact counterpart to minhash_dup_pairs: no
+    candidate with Jaccard ≥ tau is ever missed (guarantee, not
+    probability), yet the corpus never self-joins on full token sets.
+
+    Prefix principle: order every document's shingles by the GLOBAL
+    canonical order (frequency asc, shingle asc — rarest first) and keep
+    only the first |s| − ⌈tau·|s|⌉ + 1 per document; two sets with
+    Jaccard ≥ tau MUST collide on at least one prefix token, so the
+    candidate join runs on prefixes only and exact Jaccard verifies the
+    survivors. Rarest-first ordering makes prefix tokens low-frequency —
+    candidate lists stay short exactly where a frequency-ordered join
+    would explode.
+
+    Scale shape: one corpus-keyed agg (per-doc ordered shingles), one
+    vocabulary-keyed agg (frequencies, map-side combined), the candidate
+    join keyed on rare prefix tokens, verification only on candidate
+    pairs. Completeness vs brute force is property-tested; the DuckDB
+    twin replays the identical order, prefixes, and pairs.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("sh")
+    )
+    tok = sh.select("doc_id", F.explode("sh").alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    ordered = (
+        tok.join(freq, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("f"), F.col("t")))),
+                lambda s: s["t"],
+            ).alias("ord"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+    )
+    plen = (
+        F.col("sz") - F.ceil(F.col("sz") * F.lit(float(tau))).cast("int") + 1
+    ).cast("int")
+    pref = ordered.select(
+        "doc_id", F.explode(F.slice(F.col("ord"), F.lit(1), plen)).alias("t")
+    )
+    cand = (
+        pref.select(F.col("doc_id").alias("id1"), "t")
+        .join(pref.select(F.col("doc_id").alias("id2"), "t"), "t")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    return (
+        cand.join(sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1")), "id1")
+        .join(sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.size(F.array_intersect("sh1", "sh2"))
+                / F.size(F.array_union("sh1", "sh2")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
 def duplicated_spans(
     docs: DataFrame,
     k: int = 8,

@@ -617,6 +617,47 @@ SELECT id1, id2, jaccard, jaccard >= 0.7 AS is_dup FROM p WHERE jaccard > 0
 """
 )
 
+# exact twin of dedup.prefix_jaccard_pairs(tau=0.7, n=3) over the
+# augmented dup corpus (q_dedup_prefix_jaccard): identical rarest-first
+# canonical order (frequency asc, shingle asc), identical prefix length
+# sz − ceil(0.7·sz) + 1, identical exact-Jaccard verification.
+SQL_DEDUP_PREFIX_JACCARD = (
+    "WITH "
+    + _DOCS
+    + r""",
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM docs)
+),
+tok AS (SELECT doc_id, unnest(sh) AS t FROM sh),
+freq AS (SELECT t, count(*) AS f FROM tok GROUP BY t),
+ordd AS (
+  SELECT tok.doc_id, list(tok.t ORDER BY freq.f, tok.t) AS ord,
+         count(*) AS sz
+  FROM tok JOIN freq USING (t) GROUP BY tok.doc_id
+),
+pref AS (
+  SELECT doc_id,
+         unnest(ord[1 : CAST(sz - ceil(sz * 0.7) + 1 AS INTEGER)]) AS t
+  FROM ordd
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id
+)
+SELECT c.id1, c.id2,
+       len(list_distinct(list_intersect(s1.sh, s2.sh))) /
+         CAST(len(list_distinct(list_concat(s1.sh, s2.sh))) AS DOUBLE) AS jaccard
+FROM cand c JOIN sh s1 ON c.id1 = s1.doc_id JOIN sh s2 ON c.id2 = s2.doc_id
+WHERE len(list_distinct(list_intersect(s1.sh, s2.sh))) /
+        CAST(len(list_distinct(list_concat(s1.sh, s2.sh))) AS DOUBLE) >= 0.7
+"""
+)
+
+
 def _dd_sign_bucket(n_planes: int, offset: int = 0) -> str:
     """DuckDB twin of similarity.sign_lsh_bucket over a DOUBLE[] column v
     (generalizes the 4-plane _LSH_BUCKET_EXPR below; ``offset`` selects
@@ -2749,6 +2790,7 @@ ORACLES = {
     "dedup_spans": SQL_DEDUP_SPANS,
     "decontaminate": SQL_DECONTAMINATE,
     "dedup_ngram_jaccard_verify": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_prefix_jaccard": SQL_DEDUP_PREFIX_JACCARD,
     "dedup_embedding_pairs": SQL_DEDUP_EMBEDDING_PAIRS,
     "url_dedup": SQL_URL_DEDUP,
     "text_repetition": SQL_TEXT_REPETITION,

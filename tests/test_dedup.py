@@ -235,3 +235,43 @@ def test_semantic_dedup(spark):
         same_cluster = out[vid]["cid"] == out[0]["cid"]
         assert out[vid]["keep"] == (not same_cluster)
     assert out[3]["keep"] and out[4]["keep"]  # orthogonal → no dominator
+
+
+def test_prefix_jaccard_equals_brute_force(spark):
+    """The prefix filter must be COMPLETE: the pair set at tau equals
+    the all-pairs Jaccard≥tau set exactly (guarantee, not recall)."""
+    from character_identification_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+        word_shingles,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy dog today",
+        "a completely different document about spark shuffles",
+        "a completely different document about spark shuffles and joins",
+        "the quick brown fox jumps over the lazy dog tonight",  # exact dup
+        "entirely unrelated text with unique tokens here",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base)], "doc_id long, text string"
+    )
+    for tau in (0.5, 0.7, 0.9):
+        got = {(r["id1"], r["id2"]): r["jaccard"]
+               for r in prefix_jaccard_pairs(docs, tau=tau, n=3).collect()}
+        sh = docs.select("doc_id", word_shingles("text", 3).alias("sh"))
+        a = sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
+        b = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
+        brute = {
+            (r["id1"], r["id2"]): r["j"]
+            for r in a.crossJoin(b)
+            .filter(F.col("id1") < F.col("id2"))
+            .select(
+                "id1", "id2",
+                (F.size(F.array_intersect("sh1", "sh2"))
+                 / F.size(F.array_union("sh1", "sh2")).cast("double")).alias("j"),
+            )
+            .filter(F.col("j") >= tau)
+            .collect()
+        }
+        assert got == brute, (tau, got, brute)
