@@ -1644,6 +1644,32 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
+SQL_TPCH_Q6 = r"""
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+SQL_TPCH_Q3 = r"""
+SELECT l.l_orderkey, o.o_orderdate,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+         AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
 SQL_ORDER_ENRICH_BROADCAST = r"""
 SELECT o.o_orderkey, o.o_totalprice, c.c_name, n.n_name
 FROM orders o
@@ -2853,6 +2879,8 @@ ORACLES = {
     "orders_split_routing": SQL_ORDERS_SPLIT_ROUTING,
     "events_type_share": SQL_EVENTS_TYPE_SHARE,
     "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q6": SQL_TPCH_Q6,
     "order_enrich_broadcast": SQL_ORDER_ENRICH_BROADCAST,
     "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
     "cust_no_orders": SQL_CUST_NO_ORDERS,

@@ -298,3 +298,20 @@ def test_kcenter_assignment_zero_shuffle(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "Exchange hashpartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@needs_data
+def test_tpch_q6_filters_pushed_to_scan(spark):
+    """Q6 is the canonical pushdown probe: every conjunct must reach the
+    parquet scan as a PushedFilter, and the plan reads only the four
+    referenced columns."""
+    from character_identification_spark.driver_contract import QUERIES
+
+    df = QUERIES["tpch_q6"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan or col in plan.split("PushedFilters")[1][:400], plan
+    schema = plan.split("ReadSchema")[1][:200]
+    assert "l_extendedprice" in schema
+    assert "l_tax" not in schema  # column pruning: untouched columns stay out
