@@ -134,6 +134,47 @@ def entity_mention_tracker(mentions: DataFrame, timeout: str = "NoTimeout"):
     )
 
 
+def interval_join_streams(
+    fetches: DataFrame,
+    mentions: DataFrame,
+    max_delay: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """→ (url, fetch_ts, mention_ts, norm): watermarked STREAM-STREAM
+    interval join — each mention event attributes to the page fetch that
+    produced it (same url, mention_ts in [fetch_ts, fetch_ts+max_delay]).
+    The canonical Structured-Streaming two-stream inner join: BOTH sides
+    carry event-time watermarks and the join condition bounds event time
+    on both sides, so each side's join state is evictable — state is
+    bounded by watermark + max_delay, never corpus-sized.
+
+    Works in BOTH modes (the repo's streaming convention): on static
+    DataFrames it is the exact batch interval join (tested equal); on
+    streams Spark maintains the symmetric hash-join state with
+    watermark-driven eviction.
+
+    Expected schemas: fetches(url, fetch_ts), mentions(url, mention_ts,
+    norm).
+    """
+    f = fetches.select("url", "fetch_ts")
+    m = mentions.select(
+        F.col("url").alias("m_url"), "mention_ts", "norm"
+    )
+    if fetches.isStreaming:
+        f = f.withWatermark("fetch_ts", watermark)
+    if mentions.isStreaming:
+        m = m.withWatermark("mention_ts", watermark)
+    cond = (
+        (F.col("url") == F.col("m_url"))
+        & (F.col("mention_ts") >= F.col("fetch_ts"))
+        & (
+            F.col("mention_ts")
+            <= F.col("fetch_ts") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return f.join(m, cond).select("url", "fetch_ts", "mention_ts", "norm")
+
+
 def run_incremental_ingest(
     spark: SparkSession,
     input_dir: str,

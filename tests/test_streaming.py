@@ -272,3 +272,54 @@ def test_streaming_attach_foreachbatch(spark, small_corpus, tmp_path):
     )
     assert got2 == got
     names.unpersist()
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join (fetch → mention
+    attribution) produces the SAME rows run as two availableNow file
+    streams and as a static batch join."""
+    import datetime as dt
+
+    from character_identification_spark.streaming.incremental import (
+        interval_join_streams,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    fetches_rows = [(f"u{i}", ts(i)) for i in range(8)]
+    # mentions: within window (i+2 min), outside window (i+30 min),
+    # and one url with no fetch at all
+    mention_rows = (
+        [(f"u{i}", ts(i + 2), f"name{i}") for i in range(8)]
+        + [(f"u{i}", ts(i + 30), f"late{i}") for i in range(8)]
+        + [("nofetch", ts(1), "orphan")]
+    )
+    fdf = spark.createDataFrame(fetches_rows, "url string, fetch_ts timestamp")
+    mdf = spark.createDataFrame(
+        mention_rows, "url string, mention_ts timestamp, norm string"
+    )
+    batch = sorted(map(tuple, interval_join_streams(fdf, mdf).collect()))
+    assert len(batch) == 8  # only the in-window mentions attribute
+
+    fdir, mdir = str(tmp_path / "f"), str(tmp_path / "m")
+    out = str(tmp_path / "out")
+    fdf.write.parquet(fdir)
+    mdf.write.parquet(mdir)
+    fs = spark.readStream.schema("url string, fetch_ts timestamp").parquet(fdir)
+    ms = spark.readStream.schema(
+        "url string, mention_ts timestamp, norm string"
+    ).parquet(mdir)
+    q = (
+        interval_join_streams(fs, ms)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert streamed == batch
