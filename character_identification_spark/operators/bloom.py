@@ -113,7 +113,14 @@ def bloom_semijoin_stats(
     distinct build keys) computed in the same pass — at 100 TB the
     pruned scan feeds the real join and the stats row is the monitoring
     side-channel."""
-    keys = build.select(F.col(build_key).alias("k")).distinct()
+    # NULL build keys are excluded from the filter (bloom_filter_words
+    # drops them) and can never equality-match — exclude them from the
+    # reported key count too, so n_build_keys == keys actually encoded
+    keys = (
+        build.select(F.col(build_key).alias("k"))
+        .where(F.col("k").isNotNull())
+        .distinct()
+    )
     words = bloom_filter_words(keys, "k", m_bits, g)
     flagged = (
         probe.select(F.col(probe_key).alias("pk"))

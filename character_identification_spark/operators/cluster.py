@@ -101,6 +101,11 @@ def kmeans_fit_predict(
         )
         .collect()
     )
+    if len(init_rows) < k:
+        raise ValueError(
+            f"corpus has fewer than k={k} rows ({len(init_rows)}) — "
+            "cannot seed the codebook"
+        )
     centroids = [[m / MICROS for m in r["m"]] for r in init_rows]
     dim = len(centroids[0])
 
@@ -162,6 +167,8 @@ def kcenter_fit_predict(
         .select(quant.alias("m"))
         .collect()
     )
+    if not first:
+        raise ValueError("corpus is empty — cannot seed k-center")
     cents = [[m / MICROS for m in first[0]["m"]]]
     for _ in range(1, k):
         nxt = (
@@ -244,6 +251,11 @@ def _pq_train(base: DataFrame, n_blocks: int, k: int, n_iters: int):
         )
         .collect()
     )
+    if len(init_rows) < k:
+        raise ValueError(
+            f"corpus has fewer than k={k} rows ({len(init_rows)}) — "
+            "cannot seed the PQ codebooks"
+        )
     dim = len(init_rows[0]["m"])
     if dim % n_blocks:
         raise ValueError(f"dim {dim} not divisible by n_blocks {n_blocks}")

@@ -261,11 +261,14 @@ def simhash(
             np.add.at(votes, np.asarray(doc_idx, dtype=np.int64), signed)
             hashes = (powers[None, :] * (votes > 0)).sum(axis=1)
             yield pd.DataFrame(
-                {id_col: pd.Series(ids, dtype="int64"),
+                {id_col: pd.Series(ids),
                  "simhash": pd.Series(hashes, dtype="int64")}
             )
 
-    schema = f"{id_col} long, simhash long"
+    # preserve the caller's id type (string/int/long ids all valid) —
+    # the relational twin does so implicitly, the contract must match
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, simhash long"
     return docs.select(id_col, text_col).mapInPandas(fn, schema)
 
 

@@ -225,10 +225,15 @@ def dsir_weights(
 
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     unis = toks
-    bis = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, 2), " "),
-    )
+    # a 1-token doc has NO bigram — without the guard the slice(toks,1,2)
+    # degenerates to the unigram and double-counts it in both models
+    bis = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         target_pred.cast("boolean").alias("is_target"),

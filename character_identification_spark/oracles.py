@@ -1429,7 +1429,8 @@ g AS (
   SELECT doc_id, is_target,
          array_to_string(list_slice(t, CAST(i AS INTEGER),
                                        CAST(i AS INTEGER) + 1), ' ') AS gram
-  FROM d, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+  FROM d, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
 ),
 gb AS (
   SELECT doc_id, is_target,
@@ -1718,7 +1719,8 @@ def _bloom_semijoin_sql(m_bits: int = 256, g: int = 3) -> str:
     )
     return f"""
 WITH bk AS (
-  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 9900
+  SELECT DISTINCT c_custkey AS k FROM customer
+  WHERE c_acctbal > 9900 AND c_custkey IS NOT NULL
 ),
 pos AS (
 {pos_union}
