@@ -751,7 +751,7 @@ def q_similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ann_topk(e, q, k=10, n_planes=4, n_tables=2, multiprobe=True)
+    out = ann_topk(e, q, k=10, n_planes=4, n_tables=2, multiprobe=True, max_bucket_size=32)
     return out.select(
         "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     )
@@ -821,7 +821,7 @@ def q_similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast), which is the formulation that survives a corpus-sized
     query set at 100 TB."""
     e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
-    out = knn_graph(e, k=5, n_planes=4, n_tables=2, multiprobe=True)
+    out = knn_graph(e, k=5, n_planes=4, n_tables=2, multiprobe=True, max_bucket_size=32)
     return out.select(
         "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     )
@@ -837,7 +837,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from character_identification_spark.operators.graph import pagerank
 
     e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
-    edges = knn_graph(e, k=5, n_planes=4, n_tables=2, multiprobe=True).select(
+    edges = knn_graph(e, k=5, n_planes=4, n_tables=2, multiprobe=True, max_bucket_size=32).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     return pagerank(edges, n_iters=3, damping=0.85)
@@ -850,7 +850,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from character_identification_spark.operators.graph import triangle_counts
 
     e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
-    edges = knn_graph(e, k=5, n_planes=4, n_tables=2, multiprobe=True).select(
+    edges = knn_graph(e, k=5, n_planes=4, n_tables=2, multiprobe=True, max_bucket_size=32).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     return triangle_counts(edges)
@@ -877,7 +877,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from character_identification_spark.operators.graph import bfs_distances
 
     e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
-    edges = knn_graph(e, k=5, n_planes=4, n_tables=2, multiprobe=True).select(
+    edges = knn_graph(e, k=5, n_planes=4, n_tables=2, multiprobe=True, max_bucket_size=32).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     seeds = e.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("node"))
@@ -993,7 +993,7 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from character_identification_spark.operators.graph import label_propagation
 
     e = _emb_double(spark, sf_dir).select("vec_id", "embedding")
-    edges = knn_graph(e, k=5, n_planes=4, n_tables=2, multiprobe=True).select(
+    edges = knn_graph(e, k=5, n_planes=4, n_tables=2, multiprobe=True, max_bucket_size=32).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     return label_propagation(edges, n_iters=3)

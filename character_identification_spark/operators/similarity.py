@@ -23,10 +23,28 @@ mutation, features.py:195-197, is the anti-pattern).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from character_identification_spark.functions.hashing import h_long
 from character_identification_spark.functions.vectors import cosine_sim
+
+
+def planes_for(n_rows: int, target_bucket_size: int = 1000) -> int:
+    """Plane count that keeps expected bucket size near ``target``:
+    ⌈log₂(n_rows / target_bucket_size)⌉ clamped to [2, 24].
+
+    The flat default the round-4 audit flagged (n_planes=4 → 16 buckets
+    regardless of corpus size) made per-bucket volume grow linearly with
+    the corpus; deriving planes from a target keeps E[bucket] ≈ target at
+    any scale, and the salt cap below bounds the stragglers the
+    expectation argument misses (LSH buckets of clustered embeddings are
+    SKEWED, not uniform)."""
+    if n_rows <= 0:
+        return 2
+    return max(2, min(24, math.ceil(math.log2(max(2.0, n_rows / target_bucket_size)))))
 
 
 def plane_component(plane, dim):
@@ -214,32 +232,40 @@ def ivf_topk(
     )
 
 
-def ann_topk(
+def ann_candidates(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    n_planes: int = 6,
+    n_planes: int | None = 6,
     n_tables: int = 2,
     multiprobe: bool = False,
     broadcast_queries: bool = True,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Approximate top-k: n_tables independent sign-LSH bucketings (plane
-    indices offset per table); candidates = bucket collisions in any table;
-    exact cosine rerank. Recall rises with n_tables, candidate count falls
-    with n_planes — the standard multi-table LSH trade.
+    """Candidate pairs (query_id, qv, neighbor_id, cv) from the
+    multi-table sign-LSH bucket join — the pair-generation stage of
+    ann_topk/knn_graph, exposed so tests can bound its volume.
 
-    ``multiprobe=True`` additionally probes, per table, every bucket at
-    Hamming distance 1 from the query's bucket (Lv et al. 2007's
-    multi-probe LSH, restricted to 1-bit perturbations): the QUERY side
-    fans out ×(n_planes+1) — the corpus index is untouched, so the
-    storage and build cost of extra tables is traded for a bounded probe
-    fan-out on the (always far smaller) query side. Measured recall@10
-    (BENCH.md, sf0.001/sf0.01): 2×6 rises 0.075→0.375 / 0.113→0.338;
-    2×4 reaches 0.738 / 0.662 — past IVF at nprobe=8 — making
-    multiprobe 2×4 the recommended sign-LSH operating point."""
+    SKEW/SIZE CONTROL (the round-4 audit's one scale-killer): with
+    ``max_bucket_size`` set, every corpus bucket larger than the cap is
+    salt-split into ⌈size/cap⌉ exact sub-buckets (row_number round-robin
+    over the bucket ordered by id — the cap_block_sizes discipline from
+    operators/blocking.py, data-deterministic and resume-safe), and each
+    query probe picks ONE sub-bucket by an md5-pure salt. Candidate
+    volume is therefore strictly ≤ probe_rows × cap — LINEAR in the
+    query side — instead of Σ_buckets |c_bucket|·|q_bucket|, which for
+    corpus-as-queries (knn_graph) was quadratic per bucket. Inside a
+    split (hot) bucket a probe sees a deterministic 1/nsplit sample —
+    the standard salted-LSH recall trade, bought only where the bucket
+    actually overflowed; un-split buckets are exact as before.
+
+    ``n_planes=None`` derives the plane count from the corpus size via
+    ``planes_for`` (one count() job) so bucket cardinality scales with
+    the data instead of being a flat constant."""
+    if n_planes is None:
+        n_planes = planes_for(corpus.count(), max_bucket_size or 1000)
     dimc = F.size(F.col(vec_col))
 
     def _table_bucket_int(t):
@@ -299,15 +325,98 @@ def ann_topk(
     cb = bucketed(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)), "neighbor_id"
     ).select("neighbor_id", F.col(vec_col).alias("cv"), "bucket")
+
+    join_keys = ["bucket"]
+    if max_bucket_size:
+        # exact corpus-side split: the window shuffles on bucket, the
+        # same key the join needs anyway; sub-buckets are ≤ cap EXACTLY
+        wrn = Window.partitionBy("bucket").orderBy("neighbor_id")
+        wsz = Window.partitionBy("bucket")
+        cb = (
+            cb.withColumn("_rn", F.row_number().over(wrn))
+            .withColumn(
+                "nsplit",
+                F.ceil(F.count(F.lit(1)).over(wsz) / max_bucket_size).cast("long"),
+            )
+            .withColumn("salt", F.pmod(F.col("_rn") - 1, F.col("nsplit")))
+            .drop("_rn")
+        )
+        # per-bucket split counts are one row per DISTINCT bucket — the
+        # small side; a query probing a corpus-empty bucket has no
+        # candidates either way, so the inner join loses nothing
+        sizes = cb.select("bucket", "nsplit").dropDuplicates(["bucket"])
+        qb = qb.join(
+            F.broadcast(sizes) if broadcast_queries else sizes, "bucket"
+        ).withColumn(
+            "salt",
+            F.pmod(
+                h_long(
+                    F.concat_ws(
+                        "|",
+                        F.lit("qsalt"),
+                        F.col("query_id").cast("string"),
+                        F.col("bucket"),
+                    )
+                ),
+                F.col("nsplit"),
+            ),
+        )
+        join_keys = ["bucket", "salt"]
+
     # broadcast_queries=True is the point-lookup shape (few queries);
     # for corpus-sized query sets (knn_graph) pass False — the bucket
     # join becomes a shuffle join on the bucket key, which scales where
     # a corpus-sized broadcast would overflow the driver.
     qside = F.broadcast(qb) if broadcast_queries else qb
-    cand = (
-        cb.join(qside, "bucket")
+    return (
+        cb.join(qside, join_keys)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "qv", "neighbor_id", "cv")
+    )
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int | None = 6,
+    n_tables: int = 2,
+    multiprobe: bool = False,
+    broadcast_queries: bool = True,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Approximate top-k: n_tables independent sign-LSH bucketings (plane
+    indices offset per table); candidates = bucket collisions in any table
+    (salt-capped at ``max_bucket_size`` — see ann_candidates); exact
+    cosine rerank. Recall rises with n_tables, candidate count falls with
+    n_planes — the standard multi-table LSH trade. ``n_planes=None``
+    derives the plane count from corpus size (planes_for).
+
+    ``multiprobe=True`` additionally probes, per table, every bucket at
+    Hamming distance 1 from the query's bucket (Lv et al. 2007's
+    multi-probe LSH, restricted to 1-bit perturbations): the QUERY side
+    fans out ×(n_planes+1) — the corpus index is untouched, so the
+    storage and build cost of extra tables is traded for a bounded probe
+    fan-out on the (always far smaller) query side. Measured recall@10
+    (BENCH.md, sf0.001/sf0.01): 2×6 rises 0.075→0.375 / 0.113→0.338;
+    2×4 reaches 0.738 / 0.662 — past IVF at nprobe=8 — making
+    multiprobe 2×4 the recommended sign-LSH operating point (recall
+    unchanged under the default cap at those scales — BENCH.md r5)."""
+    cand = ann_candidates(
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        multiprobe=multiprobe,
+        broadcast_queries=broadcast_queries,
+        max_bucket_size=max_bucket_size,
     )
     scored = cand.withColumn("cos_sim", cosine_sim("cv", "qv"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -323,9 +432,10 @@ def knn_graph(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     n_tables: int = 2,
     multiprobe: bool = True,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """→ (query_id, neighbor_id, cos_sim, rank): the approximate k-nearest-
     neighbor GRAPH of the whole corpus — every vector is a query. The
@@ -337,7 +447,14 @@ def knn_graph(
     partition by bucket, candidate generation is per-bucket local, and
     nothing corpus-sized is ever broadcast or crossed. Defaults to the
     measured-best multiprobe 2×4 config (recall@10 0.738/0.662,
-    BENCH.md)."""
+    BENCH.md).
+
+    Scale discipline (round-5 fix of the round-4 audit finding): corpus
+    buckets are salt-capped at ``max_bucket_size`` (candidate volume ≤
+    probe_rows × cap — linear in N, property-tested), and passing
+    ``n_planes=None`` sizes the bucket space to the corpus
+    (⌈log₂(N/cap)⌉ planes) instead of the flat 4 that made per-bucket
+    volume grow with N."""
     return ann_topk(
         corpus,
         corpus.select(
@@ -351,6 +468,7 @@ def knn_graph(
         n_tables=n_tables,
         multiprobe=multiprobe,
         broadcast_queries=False,
+        max_bucket_size=max_bucket_size,
     )
 
 

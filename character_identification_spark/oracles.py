@@ -18,6 +18,8 @@ engines disagree on formatting.
 
 from __future__ import annotations
 
+from character_identification_spark.functions.hashing import dd_h_long
+
 # --------------------------------------------------------------------------
 # ER fragments (mentions derived from part.p_name — see driver_contract)
 # --------------------------------------------------------------------------
@@ -1851,29 +1853,78 @@ def _dd_table_bucket(t: int, n_planes: int = 6) -> str:
     return f"'t{t}:' || CAST({_dd_table_bucket_bits(t, n_planes)} AS VARCHAR)"
 
 
-# exact twin of ann_topk(k=10, n_planes=4, n_tables=2) — the measured-good
-# default (recall@10 ≈ 0.19, BENCH.md): the hyperplanes are md5-pure, so
-# "approximate" ANN is still deterministically replayable
-SQL_SIMILARITY_ANN = f"""
+def _ann_sql(
+    k: int,
+    n_planes: int = 4,
+    multiprobe: bool = False,
+    query_where: str | None = "vec_id < 8",
+    cap: int | None = None,
+) -> str:
+    """Twin of similarity.ann_topk / knn_graph at n_tables=2: the
+    md5-pure hyperplanes make even the approximate path deterministically
+    replayable. ``cap`` mirrors max_bucket_size — corpus buckets above
+    the cap split into ⌈size/cap⌉ exact sub-buckets (row_number
+    round-robin ordered by neighbor_id), each query probe picks ONE
+    sub-bucket by the md5 'qsalt' hash, the join runs on (bucket, salt).
+    ``query_where=None`` is the corpus-as-queries knn_graph shape."""
+    qw = f" WHERE {query_where}" if query_where else ""
+    cb = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id AS neighbor_id, {_dd_table_bucket(t, n_planes)} AS bucket"
+        f" FROM e"
+        for t in range(2)
+    )
+    if multiprobe:
+        flips = ", ".join(f"({f})" for f in [0] + [1 << p for p in range(n_planes)])
+        qb = "\n  UNION ALL\n".join(
+            f"""  SELECT vec_id AS query_id,
+         't{t}:' || CAST(xor({_dd_table_bucket_bits(t, n_planes)}, f) AS VARCHAR) AS bucket
+  FROM e, (VALUES {flips}) flips(f){qw}"""
+            for t in range(2)
+        )
+    else:
+        qb = "\n  UNION ALL\n".join(
+            f"  SELECT vec_id AS query_id, {_dd_table_bucket(t, n_planes)} AS bucket"
+            f" FROM e{qw}"
+            for t in range(2)
+        )
+    if cap:
+        salt_q = dd_h_long("'qsalt|' || CAST(query_id AS VARCHAR) || '|' || bucket")
+        cand = f"""cbs AS (
+  SELECT neighbor_id, bucket,
+         CAST(ceil(CAST(count(*) OVER (PARTITION BY bucket) AS DOUBLE) / {cap})
+              AS BIGINT) AS nsplit,
+         row_number() OVER (PARTITION BY bucket ORDER BY neighbor_id) - 1 AS rn0
+  FROM cb
+),
+cbx AS (SELECT neighbor_id, bucket, nsplit, rn0 % nsplit AS salt FROM cbs),
+sizes AS (SELECT DISTINCT bucket, nsplit FROM cbx),
+qbx AS (
+  SELECT query_id, bucket, {salt_q} % nsplit AS salt
+  FROM qb JOIN sizes USING (bucket)
+),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM cbx JOIN qbx USING (bucket, salt)
+  WHERE neighbor_id <> query_id
+)"""
+    else:
+        cand = """cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM cb JOIN qb USING (bucket)
+  WHERE neighbor_id <> query_id
+)"""
+    return f"""
 WITH e AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings
 ),
 cb AS (
-  SELECT vec_id AS neighbor_id, {_dd_table_bucket(0, 4)} AS bucket FROM e
-  UNION ALL
-  SELECT vec_id AS neighbor_id, {_dd_table_bucket(1, 4)} AS bucket FROM e
+{cb}
 ),
 qb AS (
-  SELECT vec_id AS query_id, {_dd_table_bucket(0, 4)} AS bucket FROM e WHERE vec_id < 8
-  UNION ALL
-  SELECT vec_id AS query_id, {_dd_table_bucket(1, 4)} AS bucket FROM e WHERE vec_id < 8
+{qb}
 ),
-cand AS (
-  SELECT DISTINCT query_id, neighbor_id
-  FROM cb JOIN qb USING (bucket)
-  WHERE neighbor_id <> query_id
-),
+{cand},
 s AS (
   SELECT query_id, neighbor_id,
          list_dot_product(c.v, q.v) /
@@ -1886,51 +1937,20 @@ SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
        CAST(row_number() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
 FROM s
-QUALIFY rank <= 10
+QUALIFY rank <= {k}
 """
 
-# exact twin of ann_topk(k=10, n_planes=4, n_tables=2, multiprobe=True):
-# the query side probes its bucket plus every 1-bit flip (xor with
-# 0,1,2,4,8) per table; the corpus side is the same single-bucket index
-# as similarity_ann
-SQL_SIMILARITY_ANN_MULTIPROBE = f"""
-WITH e AS (
-  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
-  FROM embeddings
-),
-cb AS (
-  SELECT vec_id AS neighbor_id, {_dd_table_bucket(0, 4)} AS bucket FROM e
-  UNION ALL
-  SELECT vec_id AS neighbor_id, {_dd_table_bucket(1, 4)} AS bucket FROM e
-),
-qb AS (
-  SELECT vec_id AS query_id,
-         't0:' || CAST(xor({_dd_table_bucket_bits(0, 4)}, f) AS VARCHAR) AS bucket
-  FROM e, (VALUES (0), (1), (2), (4), (8)) flips(f) WHERE vec_id < 8
-  UNION ALL
-  SELECT vec_id AS query_id,
-         't1:' || CAST(xor({_dd_table_bucket_bits(1, 4)}, f) AS VARCHAR) AS bucket
-  FROM e, (VALUES (0), (1), (2), (4), (8)) flips(f) WHERE vec_id < 8
-),
-cand AS (
-  SELECT DISTINCT query_id, neighbor_id
-  FROM cb JOIN qb USING (bucket)
-  WHERE neighbor_id <> query_id
-),
-s AS (
-  SELECT query_id, neighbor_id,
-         list_dot_product(c.v, q.v) /
-           (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v)))
-           AS cos_sim
-  FROM cand JOIN e c ON cand.neighbor_id = c.vec_id
-            JOIN e q ON cand.query_id = q.vec_id
-)
-SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
-       CAST(row_number() OVER (PARTITION BY query_id
-                               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
-FROM s
-QUALIFY rank <= 10
-"""
+
+# exact twin of ann_topk(k=10, n_planes=4, n_tables=2) — the measured-good
+# default (recall@10 ≈ 0.19, BENCH.md); cap=1000 is the operator's default
+# max_bucket_size (vacuous at the test SFs, exact at any SF)
+SQL_SIMILARITY_ANN = _ann_sql(10, 4, multiprobe=False, cap=1000)
+
+# exact twin of ann_topk(k=10, n_planes=4, n_tables=2, multiprobe=True,
+# max_bucket_size=32): the query side probes its bucket plus every 1-bit
+# flip (xor with 0,1,2,4,8) per table; cap=32 actually splits buckets at
+# sf0.01 (max 42) so the salted path is pinned by the value gate
+SQL_SIMILARITY_ANN_MULTIPROBE = _ann_sql(10, 4, multiprobe=True, cap=32)
 
 # exact twin of dedup.semantic_dedup(n_centroids=16, tau=0.35): same
 # md5-exemplar codebook as similarity_ivf, nearest-centroid assignment,
@@ -2001,46 +2021,11 @@ FROM scored
 QUALIFY rank <= 15
 """
 
-# exact twin of knn_graph(k=5, n_planes=4, n_tables=2, multiprobe=True):
-# the multiprobe query side IS the whole corpus (no vec_id filter)
-SQL_SIMILARITY_KNN_GRAPH = f"""
-WITH e AS (
-  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
-  FROM embeddings
-),
-cb AS (
-  SELECT vec_id AS neighbor_id, {_dd_table_bucket(0, 4)} AS bucket FROM e
-  UNION ALL
-  SELECT vec_id AS neighbor_id, {_dd_table_bucket(1, 4)} AS bucket FROM e
-),
-qb AS (
-  SELECT vec_id AS query_id,
-         't0:' || CAST(xor({_dd_table_bucket_bits(0, 4)}, f) AS VARCHAR) AS bucket
-  FROM e, (VALUES (0), (1), (2), (4), (8)) flips(f)
-  UNION ALL
-  SELECT vec_id AS query_id,
-         't1:' || CAST(xor({_dd_table_bucket_bits(1, 4)}, f) AS VARCHAR) AS bucket
-  FROM e, (VALUES (0), (1), (2), (4), (8)) flips(f)
-),
-cand AS (
-  SELECT DISTINCT query_id, neighbor_id
-  FROM cb JOIN qb USING (bucket)
-  WHERE neighbor_id <> query_id
-),
-s AS (
-  SELECT query_id, neighbor_id,
-         list_dot_product(c.v, q.v) /
-           (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v)))
-           AS cos_sim
-  FROM cand JOIN e c ON cand.neighbor_id = c.vec_id
-            JOIN e q ON cand.query_id = q.vec_id
-)
-SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
-       CAST(row_number() OVER (PARTITION BY query_id
-                               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
-FROM s
-QUALIFY rank <= 5
-"""
+# exact twin of knn_graph(k=5, n_planes=4, n_tables=2, multiprobe=True,
+# max_bucket_size=32): the multiprobe query side IS the whole corpus (no
+# vec_id filter); the 32-cap salt split is the round-5 skew fix — every
+# downstream graph twin (pagerank/bfs/triangles/communities) inherits it
+SQL_SIMILARITY_KNN_GRAPH = _ann_sql(5, 4, multiprobe=True, query_where=None, cap=32)
 
 # exact twin of curation.chunk_documents(chunk_tokens=32, overlap=8):
 # stride-24 sliding windows over whitespace tokens
@@ -2708,9 +2693,6 @@ SQL_SIMILARITY_IVFPQ = _ivfpq_topk_sql(8, 16, 2, 64, 16, 4, 8, 10)
 # any fixed-width bin rendering; Spark's bin() is already minimal),
 # capped at 53 so 2^(53-m_j) is integer-exact; the alpha·m²·2^53
 # numerator is interpolated from the SAME Python float the engine uses.
-from character_identification_spark.functions.hashing import (  # noqa: E402
-    dd_h_long,
-)
 from character_identification_spark.operators.sketch import (  # noqa: E402
     HLL_ALPHA,
     HLL_M,

@@ -156,6 +156,16 @@ def test_ann_recall_gates(spark):
     # past IVF nprobe=8; must also dominate its unprobed base
     mp24 = recall(ann_topk(e, q, k=10, n_planes=4, n_tables=2, multiprobe=True))
     assert mp24 >= 0.60 and mp24 >= base24, (base24, mp24)
+    # round-5 contract point (max_bucket_size=32 forces splits at this
+    # SF: buckets avg 31/max 42 → nsplit ≤ 2): measured 0.562 sf0.001 /
+    # 0.475 sf0.01 — the documented deterministic 1/nsplit sampling
+    # trade on hot buckets; at production sizing (planes_for keeps
+    # E[bucket] ≈ cap) splits only hit stragglers
+    mp24_cap = recall(
+        ann_topk(e, q, k=10, n_planes=4, n_tables=2, multiprobe=True,
+                 max_bucket_size=32)
+    )
+    assert 0.50 <= mp24_cap <= mp24, (mp24_cap, mp24)
     assert recall(
         ann_topk(e, q, k=10, n_planes=6, n_tables=2, multiprobe=True)
     ) >= 0.30
@@ -197,6 +207,83 @@ def test_knn_graph_shape_and_no_query_broadcast(spark):
     for ranks in per.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 5
+
+
+def test_planes_for_scales_bucket_space(spark):
+    """n_planes derives from the corpus/target ratio: E[bucket] stays
+    near the target at any scale instead of growing linearly (the
+    round-4 audit's scale-killer at flat n_planes=4)."""
+    from character_identification_spark.operators.similarity import planes_for
+
+    assert planes_for(0) == 2
+    assert planes_for(1000, 1000) == 2            # clamp floor
+    assert planes_for(16_000, 1000) == 4
+    assert planes_for(1_000_000_000, 1000) == 20  # 1B vectors → 2^20 buckets
+    assert planes_for(10**12, 1000) == 24         # clamp ceiling
+    prev = 0
+    for n in (10**3, 10**5, 10**7, 10**9, 10**11):
+        cur = planes_for(n, 1000)
+        assert cur >= prev
+        prev = cur
+    # n_planes=None wires the derivation into the operator (one count job)
+    from character_identification_spark.operators.similarity import ann_candidates
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(8).tolist()) for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    # 40 rows, target 10 → ceil(log2(4)) = 2 planes → buckets t{0,1}:0..3
+    cand = ann_candidates(e, q, n_planes=None, n_tables=1, max_bucket_size=10)
+    assert cand.count() > 0
+
+
+def test_ann_candidates_cap_bounds_volume(spark):
+    """The round-5 skew fix, property-tested: with every vector forced
+    into ONE bucket (identical vectors — the worst-case hot key), the
+    salted cap bounds candidate volume to probe_rows × cap (linear in
+    N) where the uncapped join is quadratic."""
+    from character_identification_spark.operators.similarity import ann_candidates
+
+    n, cap = 120, 10
+    base = [1.0, 0.5, -0.25, 0.125]
+    rows = [(i, [x * (1 + 1e-9 * i) for x in base]) for i in range(n)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.select(F.col("vec_id").alias("query_id"), "embedding")
+
+    capped = ann_candidates(
+        e, q, n_planes=2, n_tables=2, broadcast_queries=False, max_bucket_size=cap
+    )
+    uncapped = ann_candidates(
+        e, q, n_planes=2, n_tables=2, broadcast_queries=False, max_bucket_size=None
+    )
+    n_capped, n_uncapped = capped.count(), uncapped.count()
+    probe_rows = n * 2  # one probe per table, no multiprobe
+    assert n_capped <= probe_rows * cap, (n_capped, probe_rows * cap)
+    assert n_uncapped == n * (n - 1)  # all-in-one-bucket quadratic blowup
+    assert n_capped < n_uncapped / 4
+    # salting is data-deterministic: physical partitioning must not matter
+    again = ann_candidates(
+        e.repartition(7), q.repartition(3),
+        n_planes=2, n_tables=2, broadcast_queries=False, max_bucket_size=cap,
+    )
+    a = sorted((r["query_id"], r["neighbor_id"]) for r in capped.collect())
+    b = sorted((r["query_id"], r["neighbor_id"]) for r in again.collect())
+    assert a == b
+
+
+def test_ann_topk_cap_vacuous_when_buckets_fit(spark, emb):
+    """A cap larger than every bucket must be a no-op — the salted plan
+    and the raw bucket join agree row-for-row."""
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    raw = ann_topk(
+        emb, queries, k=5, n_planes=4, n_tables=2, max_bucket_size=None
+    ).collect()
+    capped = ann_topk(
+        emb, queries, k=5, n_planes=4, n_tables=2, max_bucket_size=1000
+    ).collect()
+    assert sorted(map(tuple, raw)) == sorted(map(tuple, capped))
 
 
 def test_jl_project_matches_numpy_replication(spark):
