@@ -75,12 +75,27 @@ def bloom_filter_words(
     return words
 
 
+# Above this, the literal-array form stops being viable: the plan
+# carries one F.lit per 32-bit word, so m_bits=2^16 is already 2,048
+# literals (fine) but a production sizing (1e7 keys × 10 bits/key ≈
+# 1e8 bits ≈ 3M literals) explodes analysis/codegen long before the
+# filter is useful. Past the ceiling, use bloom_contains_broadcast.
+LITERAL_MAX_BITS = 1 << 16
+
+
 def bloom_contains(
     key: Column, words: list[int], m_bits: int = 2048, g: int = 3
 ) -> Column:
     """Membership mask test as a literal-array projection — zero
     shuffle, whole-stage codegen, no broadcast variable: the filter
-    ships inside the plan itself."""
+    ships inside the plan itself. Bounded to m_bits ≤ LITERAL_MAX_BITS
+    (the plan carries m_bits/32 literals); larger filters go through
+    bloom_contains_broadcast."""
+    if m_bits > LITERAL_MAX_BITS:
+        raise ValueError(
+            f"m_bits={m_bits} exceeds the literal-plan ceiling "
+            f"{LITERAL_MAX_BITS}; use bloom_contains_broadcast"
+        )
     lit_words = F.array(*[F.lit(int(w)) for w in words])
     cond = None
     for p in _positions(key, m_bits, g):
@@ -92,6 +107,59 @@ def bloom_contains(
     return F.coalesce(cond, F.lit(False))
 
 
+def bloom_contains_broadcast(
+    spark, key_col: str, words: list[int], m_bits: int, g: int = 3
+) -> Column:
+    """Membership test for PRODUCTION filter sizings (m_bits past the
+    literal-plan ceiling): the words array rides a Spark broadcast
+    variable into an Arrow-batched pandas UDF instead of the plan text,
+    so plan size is O(1) in m_bits and each executor holds ONE shared
+    copy of the filter (m_bits/8 bytes — a 10⁸-bit filter is 12.5 MB).
+
+    The Python-side hash replicates h_long bit-for-bit
+    (md5('bloom{i}|' + str(key))[:15] as an integer — the same digest
+    both engines compute), so literal and broadcast forms are value-
+    identical wherever both are legal; property-tested in
+    tests/test_bloom.py. NULL keys test False, matching the literal
+    form's coalesce."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    warr = np.array(words, dtype=np.int64)
+    bc = spark.sparkContext.broadcast(warr)
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and PySpark's hint inference then rejects the signature —
+    # the hint-free form defaults to the scalar Arrow eval type
+    def _test_fn(keys):
+        w = bc.value
+        out = []
+        for ks in keys:
+            # keys arrive PRE-CAST to string by the engine (below), so
+            # the bytes hashed here are exactly the engine's rendering —
+            # a long column with NULLs would otherwise reach pandas as
+            # float64 and str(7.0) != '7'
+            if ks is None:
+                out.append(False)
+                continue
+            ok = True
+            for i in range(g):
+                p = int(
+                    hashlib.md5(f"bloom{i}|{ks}".encode()).hexdigest()[:15], 16
+                ) % m_bits
+                if not (int(w[p // WORD_BITS]) >> (p % WORD_BITS)) & 1:
+                    ok = False
+                    break
+            out.append(ok)
+        return pd.Series(out, dtype="bool")
+
+    _test = pandas_udf(_test_fn, "boolean")
+    return _test(F.col(key_col).cast("string"))
+
+
 def bloom_semijoin_stats(
     build: DataFrame,
     probe: DataFrame,
@@ -99,6 +167,7 @@ def bloom_semijoin_stats(
     probe_key: str,
     m_bits: int = 2048,
     g: int = 3,
+    use_broadcast: bool | None = None,
 ) -> DataFrame:
     """→ 1 row (n_build_keys, n_probe_rows, n_pass, n_true, n_false_pos):
     build the filter over the build side's distinct keys, prune the probe
@@ -122,9 +191,17 @@ def bloom_semijoin_stats(
         .distinct()
     )
     words = bloom_filter_words(keys, "k", m_bits, g)
+    if use_broadcast is None:
+        use_broadcast = m_bits > LITERAL_MAX_BITS
+    probe_keys = probe.select(F.col(probe_key).alias("pk"))
+    test = (
+        bloom_contains_broadcast(probe.sparkSession, "pk", words, m_bits, g)
+        if use_broadcast
+        else bloom_contains(F.col("pk"), words, m_bits, g)
+    )
     flagged = (
-        probe.select(F.col(probe_key).alias("pk"))
-        .withColumn("pass", bloom_contains(F.col("pk"), words, m_bits, g))
+        probe_keys
+        .withColumn("pass", test)
         .join(
             F.broadcast(keys.withColumn("matched", F.lit(True))),
             F.col("pk") == F.col("k"),

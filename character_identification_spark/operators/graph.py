@@ -70,6 +70,29 @@ def pagerank(
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def oriented_edges(und: DataFrame) -> DataFrame:
+    """(a, b) undirected canonical edges → (lo, hi, deg_hi) DEGREE-
+    oriented edges: each edge points from its (degree asc, id asc)-
+    smaller endpoint to the larger one. Exposed so tests can bound the
+    wedge enumeration directly."""
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    return ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("deg_hi"),
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     src_col: str = "src",
@@ -79,15 +102,19 @@ def triangle_counts(
     the UNDIRECTED view of the edge set (direction and duplicates
     dropped; self-loops ignored).
 
-    Dataflow: canonicalize each edge to (lo, hi), dedup, then the
-    ordered two-hop join — (a<b) ⋈ (b<c) ⋈ (a<c) — so every triangle
-    materializes exactly once; an explode over its three corners feeds
-    one node-keyed count. Joins are keyed on node ids (uniform for
-    md5-derived graphs); at true scale the standard refinement is
-    degree-orientation (point each edge at the higher-degree endpoint)
-    to cap the wedge fan-out of hub nodes — the id-ordering here is the
-    same algorithm with ids standing in for the degree order, fine for
-    bounded-degree graphs like kNN (deg ≤ 2k).
+    Dataflow: canonicalize each edge to (a, b), dedup, DEGREE-orient
+    (every edge points at its (degree, id)-larger endpoint —
+    oriented_edges), then enumerate each wedge exactly once at its
+    LOWEST-ORDER corner: (u→v) ⋈ (u→w) with (deg_v, v) < (deg_w, w),
+    closed by the oriented edge (v→w). Degree orientation is the
+    standard skew-proof trick: a hub of degree d has ≤ √(2|E|)
+    out-edges under this order (out-edges only point to HIGHER-degree
+    nodes), so wedge fan-out per node is capped at O(|E|) total even on
+    power-law graphs, where id-ordering lets a low-id hub enumerate
+    O(d²) wedges. Cost: one extra degree aggregation + two node-keyed
+    joins, all on the edge table. Tie-break by id keeps the order
+    total, so every triangle still materializes exactly once; the
+    DuckDB twin replays the identical (deg, id) row-value comparisons.
     """
     raw = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
     und = (
@@ -98,20 +125,31 @@ def triangle_counts(
         .distinct()
         .localCheckpoint()
     )
-    tri = (
-        und.alias("e1")
-        .join(
-            und.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2"),
-            "b",
+    o = oriented_edges(und).localCheckpoint()
+    wedge = (
+        o.select(
+            F.col("lo").alias("u"),
+            F.col("hi").alias("v"),
+            F.col("deg_hi").alias("deg_v"),
         )
         .join(
-            und.select(F.col("a"), F.col("b").alias("c")).alias("e3"),
-            ["a", "c"],
+            o.select(
+                F.col("lo").alias("u"),
+                F.col("hi").alias("w"),
+                F.col("deg_hi").alias("deg_w"),
+            ),
+            "u",
         )
-        .select("a", "b", "c")
+        .filter(
+            F.struct(F.col("deg_v"), F.col("v"))
+            < F.struct(F.col("deg_w"), F.col("w"))
+        )
     )
+    tri = wedge.join(
+        o.select(F.col("lo").alias("v"), F.col("hi").alias("w")), ["v", "w"]
+    ).select("u", "v", "w")
     corner = tri.select(
-        F.explode(F.array("a", "b", "c")).alias("node")
+        F.explode(F.array("u", "v", "w")).alias("node")
     ).groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     nodes = (
         und.select(F.col("a").alias("node"))

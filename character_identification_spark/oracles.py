@@ -2196,7 +2196,8 @@ SQL_GRAPH_BFS = _bfs_sql(4, 4)
 
 
 # twin of q_graph_triangles: undirected canonical edges from the knn
-# graph, ordered two-hop join a<b<c, corner explode
+# graph, DEGREE-oriented ((deg, id) row-value order — the skew-proof
+# wedge enumeration), wedge two-hop join closed by the oriented edge
 SQL_GRAPH_TRIANGLES = f"""
 WITH g AS (
   SELECT query_id AS src, neighbor_id AS dst FROM ({SQL_SIMILARITY_KNN_GRAPH})
@@ -2205,17 +2206,31 @@ und AS (
   SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
   FROM g WHERE src <> dst
 ),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS lo,
+         CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS hi,
+         CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN db.deg ELSE da.deg END AS deg_hi
+  FROM und u
+  JOIN deg da ON u.a = da.node
+  JOIN deg db ON u.b = db.node
+),
 tri AS (
-  SELECT e1.a, e1.b, e2.b AS c
-  FROM und e1
-  JOIN und e2 ON e1.b = e2.a
-  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+  SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+  FROM o e1
+  JOIN o e2 ON e1.lo = e2.lo
+           AND (e1.deg_hi, e1.hi) < (e2.deg_hi, e2.hi)
+  JOIN o e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
 ),
 corner AS (
   SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
-    SELECT a AS node FROM tri
-    UNION ALL SELECT b FROM tri
-    UNION ALL SELECT c FROM tri
+    SELECT u AS node FROM tri
+    UNION ALL SELECT v FROM tri
+    UNION ALL SELECT w FROM tri
   ) GROUP BY node
 ),
 nodes AS (

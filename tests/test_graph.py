@@ -58,6 +58,49 @@ def test_triangle_counts_triangle_free(spark):
     assert out == {0: 0, 1: 0, 2: 0, 3: 0}
 
 
+def test_triangle_degree_orientation_caps_hub_wedges(spark):
+    """Skewed star (round-5 audit fix): hub id 0 joined to 50 leaves,
+    two leaf-leaf chords. Under ID orientation the low-id hub would
+    enumerate C(50,2)=1225 wedges; degree orientation points every
+    spoke AT the hub, so the hub enumerates none and total wedge volume
+    stays linear in the leaf count. Counts must still be exact."""
+    from pyspark.sql import functions as F
+
+    from character_identification_spark.operators.graph import (
+        oriented_edges,
+        triangle_counts,
+    )
+
+    m = 50
+    pairs = [(0, i) for i in range(1, m + 1)] + [(1, 2), (3, 4)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    # triangles: (0,1,2) and (0,3,4)
+    assert out[0] == 2 and out[1] == out[2] == out[3] == out[4] == 1
+    assert all(out[i] == 0 for i in range(5, m + 1))
+
+    # wedge-volume bound: replay the operator's own wedge join on the
+    # oriented edges — the hub (max degree) must contribute 0 wedges
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    o = oriented_edges(und)
+    wedges = (
+        o.select(F.col("lo").alias("u"), F.col("hi").alias("v"),
+                 F.col("deg_hi").alias("dv"))
+        .join(
+            o.select(F.col("lo").alias("u"), F.col("hi").alias("w"),
+                     F.col("deg_hi").alias("dw")),
+            "u",
+        )
+        .filter(F.struct("dv", "v") < F.struct("dw", "w"))
+    )
+    per_u = {r["u"]: r["n"] for r in
+             wedges.groupBy("u").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0 not in per_u  # hub enumerates no wedges
+    assert sum(per_u.values()) <= 2 * m  # linear, not C(m,2)
+
+
 def test_label_propagation_two_cliques(spark):
     from character_identification_spark.operators.graph import label_propagation
 
