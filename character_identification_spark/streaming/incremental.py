@@ -139,14 +139,26 @@ def interval_join_streams(
     mentions: DataFrame,
     max_delay: str = "10 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """→ (url, fetch_ts, mention_ts, norm): watermarked STREAM-STREAM
     interval join — each mention event attributes to the page fetch that
     produced it (same url, mention_ts in [fetch_ts, fetch_ts+max_delay]).
-    The canonical Structured-Streaming two-stream inner join: BOTH sides
+    The canonical Structured-Streaming two-stream join: BOTH sides
     carry event-time watermarks and the join condition bounds event time
     on both sides, so each side's join state is evictable — state is
     bounded by watermark + max_delay, never corpus-sized.
+
+    ``how='left_outer'`` is the attribution-pipeline form the round-4
+    audit asked for (What's missing #2): a fetch with NO in-window
+    mention still surfaces, with NULL (mention_ts, norm) — emitted once
+    the MENTION-side watermark passes fetch_ts + max_delay, i.e. once no
+    late mention can still attribute to it. Late mentions beyond the
+    watermark are dropped by the engine on both forms; the outer row is
+    the auditable record that attribution was attempted and found
+    nothing. Batch/stream parity holds for both forms (tested), with the
+    standard streaming caveat that rows whose eviction deadline never
+    passes (stream ends first) remain in state rather than emitting.
 
     Works in BOTH modes (the repo's streaming convention): on static
     DataFrames it is the exact batch interval join (tested equal); on
@@ -156,6 +168,8 @@ def interval_join_streams(
     Expected schemas: fetches(url, fetch_ts), mentions(url, mention_ts,
     norm).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer'; got {how!r}")
     f = fetches.select("url", "fetch_ts")
     m = mentions.select(
         F.col("url").alias("m_url"), "mention_ts", "norm"
@@ -172,7 +186,7 @@ def interval_join_streams(
             <= F.col("fetch_ts") + F.expr(f"INTERVAL {max_delay}")
         )
     )
-    return f.join(m, cond).select("url", "fetch_ts", "mention_ts", "norm")
+    return f.join(m, cond, how).select("url", "fetch_ts", "mention_ts", "norm")
 
 
 def run_incremental_ingest(

@@ -323,3 +323,84 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
     q.awaitTermination(120)
     streamed = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert streamed == batch
+
+
+def test_interval_join_left_outer_stream_equals_batch(spark, tmp_path):
+    """Left-outer form (round-5): fetches with NO in-window mention
+    surface with NULL (mention_ts, norm) once the mention watermark
+    passes their attribution deadline. Streamed as multi-batch
+    availableNow file streams (1 file per source per micro-batch;
+    sentinel events advance the watermark, a final nudge batch flushes
+    the evictable outer state), the non-sentinel rows must equal the
+    static batch left-outer join."""
+    import datetime as dt
+    import time
+
+    from character_identification_spark.streaming.incremental import (
+        interval_join_streams,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    fetch_rows = [(f"u{i}", ts(i)) for i in range(8)] + [
+        (f"nm{i}", ts(i)) for i in range(4)  # never mentioned
+    ]
+    mention_rows = (
+        [(f"u{i}", ts(i + 2), f"name{i}") for i in range(8)]
+        + [(f"u{i}", ts(i + 30), f"late{i}") for i in range(8)]
+        + [("nofetch", ts(1), "orphan")]
+    )
+    fdf = spark.createDataFrame(fetch_rows, "url string, fetch_ts timestamp")
+    mdf = spark.createDataFrame(
+        mention_rows, "url string, mention_ts timestamp, norm string"
+    )
+    batch = sorted(
+        map(tuple, interval_join_streams(fdf, mdf, how="left_outer").collect()),
+        key=str,
+    )
+    assert len(batch) == 12  # 8 attributed + 4 null-mention fetches
+    assert sum(1 for r in batch if r[3] is None) == 4
+
+    fdir, mdir, out = (str(tmp_path / d) for d in ("f", "m", "out"))
+    sent_f = [("sentinelF", ts(600))], [("sentinelF2", ts(660))]
+    sent_m = (
+        [("sentinelM", ts(600), "sm")],
+        [("sentinelM2", ts(660), "sm2")],
+    )
+    # batch 1: the data; batches 2-3: watermark sentinels + flush nudge
+    fdf.coalesce(1).write.mode("append").parquet(fdir)
+    mdf.coalesce(1).write.mode("append").parquet(mdir)
+    for i in range(2):
+        time.sleep(1.2)  # mtime-ordered file batches
+        spark.createDataFrame(
+            sent_f[i], "url string, fetch_ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(fdir)
+        spark.createDataFrame(
+            sent_m[i], "url string, mention_ts timestamp, norm string"
+        ).coalesce(1).write.mode("append").parquet(mdir)
+
+    fs = (
+        spark.readStream.schema("url string, fetch_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(fdir)
+    )
+    ms = (
+        spark.readStream.schema("url string, mention_ts timestamp, norm string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(mdir)
+    )
+    q = (
+        interval_join_streams(fs, ms, how="left_outer")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).filter(~F.col("url").startswith("sentinel"))
+    streamed = sorted(map(tuple, got.collect()), key=str)
+    assert streamed == batch
