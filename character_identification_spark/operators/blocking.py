@@ -30,6 +30,28 @@ from pyspark.sql import functions as F
 
 from character_identification_spark.functions.hashing import h_long
 
+# Universal-hash MinHash family: h_i(x) = (a_i·x + b_i) mod P over ONE
+# md5-derived base value per shingle — 2^31-1 (Mersenne) keeps every
+# product under 2^62 so the arithmetic is exact (and ANSI-overflow-free)
+# in both engines. The classic Broder/Carter-Wegman construction; the
+# per-seed-md5 formulation it replaces cost num_hashes md5 calls per
+# shingle for no statistical benefit.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_coefficients(num_hashes: int) -> tuple[list[int], list[int]]:
+    """(a_i, b_i) for the universal family, md5-pure in the seed index —
+    the DuckDB twins inline the same integer literals (a ∈ [1, P-1],
+    b ∈ [0, P-1])."""
+    import hashlib
+
+    def _c(tag: str, i: int) -> int:
+        return int(hashlib.md5(f"{tag}|{i}".encode()).hexdigest()[:15], 16)
+
+    a = [_c("mh_a", i) % (MINHASH_P - 1) + 1 for i in range(num_hashes)]
+    b = [_c("mh_b", i) % MINHASH_P for i in range(num_hashes)]
+    return a, b
+
 
 def sortkey_blocks(
     mentions: DataFrame,
@@ -109,32 +131,48 @@ def minhash_lsh_blocks(
     their minhash signatures agrees — probability 1-(1-j^r)^b for Jaccard j.
     Defaults (b=6, r=2) give ~0.96 hit rate at j=0.6, ~0.26 at j=0.3.
 
-    Hashes are md5-hex prefixes: fixed-width lowercase hex compares
-    lexicographically as numbers, so min() needs no integer conversion.
+    ZERO-SHUFFLE, ONE-md5 signatures (round-5 perf rework of the
+    two-groupBy per-seed-md5 formulation): each shingle hashes ONCE
+    (md5 60-bit → mod P), every seed's minhash is array_min over the
+    cheap (a_i·h + b_i) mod P rescoring of that base array — a pure
+    whole-stage-codegen projection, md5 count cut num_hashes× — and the
+    banded keys posexplode num_hashes/band_size rows per mention. The
+    only shuffle this family ever causes is downstream (dedup/cap),
+    where one was already due. Band-hit statistics are those of any
+    universal family; the DuckDB twins inline the same (a_i, b_i).
     """
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    sh = (
-        mentions.select("mention_uid", F.explode(char_shingles("norm", n_gram)).alias("shingle"))
-        .select("mention_uid", "shingle", F.explode(seeds).alias("seed"))
-        .select(
-            "mention_uid",
-            "seed",
-            F.substring(
-                F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))), 1, 15
-            ).alias("hx"),
-        )
-    )
-    sig = sh.groupBy("mention_uid", "seed").agg(F.min("hx").alias("mh"))
-    banded = sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
-    return (
-        banded.groupBy("mention_uid", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
-                ),
+    shing = char_shingles("norm", n_gram)
+    base = F.transform(shing, lambda s: h_long(s) % MINHASH_P)
+    # hb materializes as a named column so the md5 array is computed
+    # once, not re-inlined into all num_hashes transforms (CollapseProject
+    # keeps multi-use non-trivial expressions un-collapsed)
+    a_co, b_co = minhash_coefficients(num_hashes)
+
+    def _ab(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+    mins = [
+        F.array_min(F.transform(F.col("hb"), _ab(a_co[i], b_co[i])))
+        for i in range(num_hashes)
+    ]
+    n_bands = (num_hashes + band_size - 1) // band_size
+    band_sigs = F.array(
+        *[
+            F.concat_ws(
                 ",",
-            ).alias("band_sig")
+                *[m.cast("string") for m in mins[b * band_size : (b + 1) * band_size]],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        mentions
+        # the exploded formulation dropped null-norm rows at the explode;
+        # the projection form must drop them explicitly
+        .filter(F.col("norm").isNotNull())
+        .select("mention_uid", base.alias("hb"))
+        .select(
+            "mention_uid", F.posexplode(band_sigs).alias("band", "band_sig")
         )
         .select(
             "mention_uid",

@@ -71,7 +71,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
     checkpoint_every: int = 1,
-    converge_check_every: int = 1,
+    converge_check_every: int = 2,
 ) -> DataFrame:
     """edges(u, v) → assignments(node, component) where component is the
     minimum node id in the component (ids may be longs or strings — only

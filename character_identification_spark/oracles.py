@@ -64,30 +64,53 @@ sk_fam AS (
 )
 """
 
-_ER_MINHASH = r"""
+def _er_minhash_sql(num_hashes: int = 8, band_size: int = 2) -> str:
+    """Twin of blocking.minhash_lsh_blocks (round-5 universal-hash
+    form): ONE md5 per shingle → base mod P, per-seed minhash =
+    list_min over the (a_i·h + b_i) mod P rescoring with the SAME
+    md5-pure coefficients the engine inlines."""
+    from character_identification_spark.operators.blocking import (
+        MINHASH_P,
+        minhash_coefficients,
+    )
+
+    a_co, b_co = minhash_coefficients(num_hashes)
+    mins = [
+        f"list_min(list_transform(hb, h -> ({a_co[i]} * h + {b_co[i]}) % {MINHASH_P}))"
+        for i in range(num_hashes)
+    ]
+    n_bands = (num_hashes + band_size - 1) // band_size
+
+    def _sig(b: int) -> str:
+        return " || ',' || ".join(
+            f"CAST({mins[i]} AS VARCHAR)"
+            for i in range(b * band_size, min((b + 1) * band_size, num_hashes))
+        )
+
+    selects = "\n    UNION ALL\n".join(
+        f"    SELECT mention_uid, {b} AS band, {_sig(b)} AS band_sig FROM mh_base"
+        for b in range(n_bands)
+    )
+    return f"""
+mh_base AS (
+  SELECT mention_uid,
+         list_transform(list_distinct(list_transform(
+           generate_series(1, greatest(len(norm) - 2, 1)),
+           i -> substr(norm, i, 3))),
+           s -> {dd_h_long('s')} % {MINHASH_P}) AS hb
+  FROM m WHERE norm IS NOT NULL
+),
 mh_fam AS (
   SELECT mention_uid,
          'mh:' || CAST(band AS VARCHAR) || ':' || band_sig AS block_key
   FROM (
-    SELECT mention_uid, seed // 2 AS band,
-           string_agg(mh, ',' ORDER BY seed) AS band_sig
-    FROM (
-      SELECT mention_uid, seed,
-             min(substr(md5(CAST(seed AS VARCHAR) || '|' || shingle), 1, 15)) AS mh
-      FROM (
-        SELECT mention_uid,
-               unnest(list_distinct(list_transform(
-                 generate_series(1, greatest(len(norm) - 2, 1)),
-                 i -> substr(norm, i, 3)))) AS shingle
-        FROM m
-      )
-      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
-      GROUP BY mention_uid, seed
-    )
-    GROUP BY mention_uid, seed // 2
+{selects}
   )
 )
 """
+
+
+_ER_MINHASH = _er_minhash_sql(8, 2)
 
 
 def _capped(src: str, out: str, cap: int = 40) -> str:
