@@ -424,6 +424,7 @@ def link_transcript_mentions(
     ppl_tau: float | None = None,
     p2m_tau: float | None = None,
     event_scope: str = "scene",
+    pool_anchor: bool | float = False,
 ) -> DataFrame:
     """mentions(mention_uid, utterance_id, utt_idx, sent_idx, begin,
     surface, block_key=scene_id) + utterances → assignments
@@ -639,6 +640,94 @@ def link_transcript_mentions(
     # the clustering key keeps the raw resolved referent — two mentions of
     # the same out-of-vocab character still co-refer.
     m = m.withColumn("ref_raw", F.col("auto_ref"))
+    if pool_anchor:
+        # STRUCTURAL cross-scene route (round-5 sweep, VERDICT r4 #7):
+        # a scene's unresolved third-person pool re-labels to the most
+        # salient gender-matching character of EARLIER scenes of the
+        # episode — pure joins over speaker/cast-name events (speakers
+        # are global labels across scenes), no model. Attacks the 53% of
+        # p3 singular golds never named/speaking in-scene, which
+        # feature-level episode priors (epi_freq/epi_named, round 4)
+        # could not reach. Selectable via the sweep ':pa' suffix; the
+        # default stays the sweep argmax (CLAUDE.md discipline).
+        _pseudo_any0 = F.coalesce(
+            F.col("_pseudo3"), F.col("_pseudo2"), F.col("_pseudoN")
+        )
+        epi = F.regexp_replace(F.col("scene_id"), r"_c\d+$", "")
+        ev = (
+            m.select(
+                epi.alias("_aepi"),
+                "scene_id",
+                F.when(
+                    (F.col("kind") == "name") & F.col("cast_ref").isNotNull(),
+                    F.col("cast_ref"),
+                )
+                .otherwise(F.when(F.col("kind") == "p1", F.col("spk")))
+                .alias("ref"),
+            )
+            .filter(F.col("ref").isNotNull())
+            .groupBy("_aepi", "scene_id", "ref")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # full (scene × episode-ref) grid so scenes with no events still
+        # get an anchor from earlier scenes — both sides episode-bounded
+        scenes = m.select(epi.alias("_aepi"), "scene_id").distinct()
+        refs = ev.select("_aepi", "ref").distinct()
+        cells = (
+            scenes.join(refs, "_aepi")
+            .join(ev, ["_aepi", "scene_id", "ref"], "left")
+            .select(
+                "_aepi", "scene_id", "ref",
+                F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            )
+        )
+        wprior = Window.partitionBy("_aepi", "ref").orderBy("scene_id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        cand = (
+            cells.withColumn(
+                "prior_cnt", F.coalesce(F.sum("cnt").over(wprior), F.lit(0))
+            )
+            .withColumn(
+                "last_seen",
+                F.max(F.when(F.col("cnt") > 0, F.col("scene_id"))).over(wprior),
+            )
+            .filter(F.col("prior_cnt") > 0)
+            .withColumn("g", label_gender("ref"))
+            .filter(F.col("g").isNotNull())
+        )
+        wpick = Window.partitionBy("scene_id", "g").orderBy(
+            F.desc("prior_cnt"), F.desc("last_seen"), F.asc("ref")
+        )
+        # dominance gate: pool_anchor may be a float τ — only anchor
+        # when the winner holds ≥ τ of the scene's earlier gendered
+        # event mass (a non-dominant winner is a coin flip that costs
+        # precision; measured in the BASELINE.md round-5 sweep)
+        dom_tau = 0.0 if pool_anchor is True else float(pool_anchor)
+        wtot = Window.partitionBy("scene_id", "g")
+        anchors = (
+            cand.withColumn("_rk", F.row_number().over(wpick))
+            .withColumn(
+                "_share", F.col("prior_cnt") / F.sum("prior_cnt").over(wtot)
+            )
+            .filter((F.col("_rk") == 1) & (F.col("_share") >= dom_tau))
+            .select(
+                "scene_id", F.col("g").alias("mg"),
+                F.col("ref").alias("_pool_anchor"),
+            )
+        )
+        m = m.join(F.broadcast(anchors), ["scene_id", "mg"], "left")
+        is_pool = (
+            F.col("ref_raw").isNull()
+            & _pseudo_any0.isNull()
+            & F.col("kind").isin("p3m", "p3f")
+            & F.col("_pool_anchor").isNotNull()
+        )
+        m = m.withColumn(
+            "auto_ref", F.when(is_pool, F.col("_pool_anchor")).otherwise(F.col("auto_ref"))
+        ).withColumn(
+            "ref_raw", F.when(is_pool, F.col("_pool_anchor")).otherwise(F.col("ref_raw"))
+        )
     if label_vocab is not None:
         from character_identification_spark.functions.lexicon import coarsen_to_vocab
 

@@ -87,6 +87,16 @@ def main() -> None:
         # plural-gate thresholds for their sweeps)
         segs = mode.split("/")
         p3spec, rest = segs[0], segs[1:]
+        # cross-scene episode-anchor pools (round 5): ':pa' or ':pa0.65'
+        # (dominance-gated — anchor only when the winner holds ≥ τ of the
+        # earlier gendered event mass)
+        pa: bool | float = False
+        import re as _re
+
+        mm = _re.search(r":pa([0-9.]*)", p3spec)
+        if mm:
+            pa = float(mm.group(1)) if mm.group(1) else True
+            p3spec = p3spec[: mm.start()] + p3spec[mm.end():]
         scope = "episode" if p3spec.endswith(":ep") else "scene"
         p3spec = p3spec.removesuffix(":ep")
         p3m, _, p3t = p3spec.partition("@")
@@ -108,6 +118,7 @@ def main() -> None:
             ppl_tau=float(ppl_t) if ppl_t else None,
             p2m_tau=float(p2m_t) if p2m_t else None,
             event_scope=scope,
+            pool_anchor=pa,
         ).cache()
         ev = pairwise_f1(assign, gp)
         acc = rule_accuracy(assign, gold)
