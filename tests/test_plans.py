@@ -315,3 +315,41 @@ def test_tpch_q6_filters_pushed_to_scan(spark):
     schema = plan.split("ReadSchema")[1][:200]
     assert "l_extendedprice" in schema
     assert "l_tax" not in schema  # column pruning: untouched columns stay out
+
+
+@needs_data
+def test_minhash_blocks_zero_shuffle(spark):
+    """Round-5 claim, machine-checked: MinHash block signatures are a
+    pure projection — NO Exchange anywhere in the plan (the old
+    formulation shuffled mentions × shingles × seeds through two
+    groupBys). The only scan feeds posexplode + codegen expressions."""
+    from character_identification_spark.operators.blocking import (
+        minhash_lsh_blocks,
+    )
+
+    m = spark.read.parquet(f"{SF}/part.parquet").select(
+        F.col("p_partkey").alias("mention_uid"),
+        F.lower(F.col("p_name")).alias("norm"),
+    )
+    plan = plan_of(minhash_lsh_blocks(m, n_gram=3, num_hashes=8, band_size=2))
+    assert "Exchange" not in plan, plan
+
+
+@needs_data
+def test_knn_graph_salted_join_no_corpus_broadcast(spark):
+    """The capped knn_graph joins on (bucket, salt) with NO forced
+    broadcast of a corpus-sized side: the only broadcast exchanges in
+    the plan are the per-bucket nsplit table (bounded by the bucket
+    space), never the bucketed corpus/query rows."""
+    from character_identification_spark.operators.similarity import knn_graph
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    g = knn_graph(e, k=5, n_planes=4, n_tables=2, multiprobe=True,
+                  max_bucket_size=32)
+    assert "ResolvedHint" not in g._jdf.queryExecution().optimizedPlan().toString()
+    # the salted join keys must appear in the optimized plan
+    opt = g._jdf.queryExecution().optimizedPlan().toString()
+    assert "salt" in opt and "bucket" in opt
