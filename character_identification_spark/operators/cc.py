@@ -26,10 +26,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _symmetrize(edges: DataFrame) -> DataFrame:
+def _orient(edges: DataFrame) -> DataFrame:
+    """Canonical oriented-distinct edge set: u > v, no self-loops, one row
+    per undirected edge — the loop invariant both star rounds rely on."""
     return (
-        edges.select(F.col("u"), F.col("v"))
-        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -37,8 +38,17 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each u: every neighbor v > u links to min(N(u) ∪ {u}).
-    Needs the symmetric neighbor view, so symmetrizes its input."""
-    sym = _symmetrize(edges)
+
+    Input contract (round-6 perf rework): ``edges`` is oriented-distinct
+    (u > v, no self-loops, no duplicate rows) — guaranteed by _orient at
+    loop entry and preserved by both stars. The symmetric view is then a
+    plain union (the two halves can't overlap: u > v vs u < v), saving the
+    old _symmetrize distinct — one Exchange + dedup aggregate per round.
+    Output is again oriented-distinct: each emitted row is (v, mn) with
+    mn = min(N(u) ∪ {u}) ≤ u < v."""
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
     mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("mn"))
     return (
         sym.join(mins, "u")
@@ -50,13 +60,16 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """Orient u ≥ v; every v in N⁻(u) ∪ {u} links to its min."""
-    oriented = edges.select(
-        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).distinct()
-    mins = oriented.groupBy("u").agg(F.min("v").alias("mn"))
+    """Every v in N⁻(u) ∪ {u} links to its min.
+
+    Input contract: oriented-distinct (u > v) — _large_star's output
+    already satisfies it, so the old greatest/least re-orientation and its
+    distinct (one Exchange + dedup per round) are gone. Output rows are
+    (v, mn) and (u, mn) with mn = min over the group's v's, so mn < u and
+    mn ≤ v with equality filtered — oriented-distinct again."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("mn"))
     relink = (
-        oriented.join(mins, "u")
+        edges.join(mins, "u")
         .select(F.col("v").alias("u"), F.col("mn").alias("v"))
     )
     self_link = mins.select(F.col("u"), F.col("mn").alias("v"))
@@ -83,12 +96,7 @@ def connected_components(
     signature check is a full scan of the current edge set — checking
     every 2nd round trades at most one extra (cheap, already-shrunken)
     star round for half the convergence scans."""
-    cur = (
-        edges.select(F.col("u"), F.col("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    cur = _orient(edges).localCheckpoint(eager=True)
     prev_sig = None
     for i in range(max_iter):
         cur = _small_star(_large_star(cur))

@@ -71,6 +71,51 @@ def word_shingles(col, n: int = 3):
     )
 
 
+def _minhash_min_arrays(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_gram: int,
+    num_hashes: int,
+    char_level: bool = False,
+) -> DataFrame:
+    """→ (doc_id, mhs: array<string>[num_hashes]) — per-seed minimum of
+    md5-hex over the doc's shingles, as a ZERO-SHUFFLE whole-stage-codegen
+    projection (round-6 perf rework, mirroring the round-5
+    minhash_lsh_blocks projection in operators/blocking.py): per seed,
+    array_min over substring(md5(seed|shingle), 1, 15) of the shingle
+    array — exactly the values the old explode→explode→groupBy(doc, seed)
+    formulation aggregated, without materializing |shingles|×num_hashes
+    rows through an exchange. NULL-text docs are dropped explicitly (the
+    exploded form dropped them at the explode)."""
+    from character_identification_spark.operators.blocking import char_shingles
+
+    sh_expr = (
+        char_shingles(text_col, n_gram) if char_level else word_shingles(text_col, n_gram)
+    )
+
+    def _seed_min(i: int):
+        # closure factory: a two-param lambda would receive the array
+        # INDEX as its second argument (see CLAUDE.md invariants)
+        return F.array_min(
+            F.transform(
+                F.col("_sh"),
+                lambda s: F.substring(
+                    F.md5(F.concat_ws("|", F.lit(i), s)), 1, 15
+                ),
+            )
+        )
+
+    mhs = F.array(*[_seed_min(i) for i in range(num_hashes)])
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        # _sh materializes as a named column so the shingle array is
+        # computed once, not re-inlined into all num_hashes transforms
+        .select(F.col(id_col), sh_expr.alias("_sh"))
+        .select(id_col, mhs.alias("mhs"))
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -81,23 +126,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """→ (doc_id, seed, mh): per-seed minimum of md5-hex over the doc's
     shingles. Deterministic across runs/partitionings (pure hash of data);
-    the hex-prefix min trick is shared with operators/blocking.py."""
-    from character_identification_spark.operators.blocking import char_shingles
+    the hex-prefix min trick is shared with operators/blocking.py.
 
-    sh_expr = (
-        char_shingles(text_col, n_gram) if char_level else word_shingles(text_col, n_gram)
-    )
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    return (
-        docs.select(F.col(id_col), F.explode(sh_expr).alias("shingle"))
-        .select(id_col, "shingle", F.explode(seeds).alias("seed"))
-        .groupBy(id_col, "seed")
-        .agg(
-            F.min(
-                F.substring(F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))), 1, 15)
-            ).alias("mh")
-        )
-    )
+    Round-6: computed as a zero-shuffle projection (_minhash_min_arrays)
+    + posexplode — value-identical to the old explode→groupBy form (same
+    md5 strings, same lexicographic minima), no exchange."""
+    return _minhash_min_arrays(
+        docs, id_col, text_col, n_gram, num_hashes, char_level
+    ).select(F.col(id_col), F.posexplode("mhs").alias("seed", "mh"))
 
 
 def minhash_buckets(
@@ -122,6 +158,35 @@ def minhash_buckets(
     )
 
 
+def _minhash_bucket_rows(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_gram: int,
+    num_hashes: int,
+    band_size: int,
+) -> DataFrame:
+    """Fused signatures→buckets path for minhash_dup_pairs: the per-seed
+    minima come from the zero-shuffle projection (_minhash_min_arrays) and
+    each band's bucket string is a slice+array_join of that array —
+    byte-identical to minhash_buckets(minhash_signatures(...)) (same
+    band:mh,mh strings, seeds in order by construction) with ZERO
+    exchanges instead of two groupBy shuffles."""
+    n_bands = (num_hashes + band_size - 1) // band_size
+    buckets = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.array_join(F.slice("mhs", b * band_size + 1, band_size), ","),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return _minhash_min_arrays(docs, id_col, text_col, n_gram, num_hashes).select(
+        F.col(id_col), F.explode(buckets).alias("bucket")
+    )
+
+
 def minhash_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -135,8 +200,9 @@ def minhash_dup_pairs(
     """LSH candidates + exact shingle-Jaccard verify →
     (id1, id2, jaccard, is_dup). The verify join carries each doc's distinct
     shingle array once (computed in the same pass as the signature scan)."""
-    sigs = minhash_signatures(docs, id_col, text_col, n_gram, num_hashes)
-    buckets = minhash_buckets(sigs, id_col, band_size)
+    buckets = _minhash_bucket_rows(
+        docs, id_col, text_col, n_gram, num_hashes, band_size
+    )
     if max_bucket_size:
         from character_identification_spark.operators.blocking import cap_block_sizes
 

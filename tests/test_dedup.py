@@ -9,6 +9,7 @@ from character_identification_spark.operators.dedup import (
     dedup_clusters,
     embedding_dup_pairs,
     exact_dedup,
+    minhash_buckets,
     minhash_dup_pairs,
     minhash_signatures,
     simhash,
@@ -275,3 +276,27 @@ def test_prefix_jaccard_equals_brute_force(spark):
             .collect()
         }
         assert got == brute, (tau, got, brute)
+
+
+def test_minhash_fused_buckets_equal_groupby_form(spark, docs):
+    """Round-6 zero-shuffle projection path: bucket rows must be
+    byte-identical to the readable groupBy spec form."""
+    from character_identification_spark.operators.dedup import (
+        _minhash_bucket_rows,
+    )
+
+    spec = sorted(
+        map(
+            tuple,
+            minhash_buckets(minhash_signatures(docs))
+            .select("doc_id", "bucket")
+            .collect(),
+        )
+    )
+    fused = sorted(
+        map(
+            tuple,
+            _minhash_bucket_rows(docs, "doc_id", "text", 3, 16, 2).collect(),
+        )
+    )
+    assert spec == fused
