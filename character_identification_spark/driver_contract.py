@@ -99,6 +99,9 @@ ER_CAP = 40  # small cap so cap_block_sizes' salting path is exercised
 def _er_mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mention corpus: 3 alias variants per part name
     (full / first-token+initial / transposed-typo second token)."""
+    # NOT fanned out (functions/partitioning.py): measured +2.5 s — the
+    # per-mention blocking work here is too light to repay an extra
+    # exchange, unlike the document-level md5 fan-outs in dedup.py
     part = _t(spark, sf_dir, "part")
     toks = F.split(F.col("p_name"), " ")
     t1, t2 = toks.getItem(0), toks.getItem(1)
@@ -131,11 +134,24 @@ def _er_mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _er_blocks_df(m: DataFrame) -> DataFrame:
     """prefix + init_last + MinHash-LSH families, union'd, capped.
     (soundex is excluded here only because DuckDB lacks soundex() for the
-    oracle; the pipeline default keeps it — see plans/pipeline.py.)"""
-    fam = (
-        sortkey_blocks(m, prefix_len=4, families=("prefix", "init_last"))
-        .unionByName(minhash_lsh_blocks(m, n_gram=3, num_hashes=8, band_size=2))
-        .dropDuplicates(["mention_uid", "block_key"])
+    oracle; the pipeline default keeps it — see plans/pipeline.py.)
+
+    Carries ``norm`` through: match_edges_sparse groups by it without a
+    join back on mention_uid, and generate_pairs projects it away — the
+    declared blocking queries build their own norm-free pipelines, so
+    their schemas are untouched.
+
+    No dropDuplicates (round-6): every family emits a distinct key prefix
+    ('sk:' / 'il:' / 'mh:<band>:') and at most ONE key per (mention,
+    family/band), and mention_uids are unique — (mention_uid, block_key)
+    duplicates are impossible by construction, so the dedup was a no-op
+    paying a full (uid, key) shuffle."""
+    fam = sortkey_blocks(
+        m, prefix_len=4, families=("prefix", "init_last"), passthrough=("norm",)
+    ).unionByName(
+        minhash_lsh_blocks(
+            m, n_gram=3, num_hashes=8, band_size=2, passthrough=("norm",)
+        )
     )
     return cap_block_sizes(fam, ER_CAP)
 
@@ -1676,65 +1692,16 @@ def q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Registry ORDER is load-bearing: the driver's correctness sweep caps at
 # the first 50 entries (tools/check_oracles.py documents the cap), so the
-# newest / least-driver-proven families sit FIRST each round and the
-# long-stable ER/dedup/eval tail is covered by the committed
-# CORRECTNESS_FULL.json (tools/check_oracles.py over the full surface).
-# Round 5 window: the 38 entries the round-4 driver never saw, then the
-# entries whose semantics changed this round.
+# rotation invariant is "every query driver-green within any two
+# consecutive rounds". Round 6 window: the 38 entries CORRECTNESS_r05
+# did NOT cover (they were round 5's tail; several are also the queries
+# whose INTERNALS this optimization round reworked — er_*, minhash
+# dedup, text_repetition), then the remaining round-6-touched entries
+# (simhash fan-out, Bloom probe vectorization) and part of the round-5
+# window as filler. The other 38 stay driver-green via CORRECTNESS_r05
+# plus the regenerated CORRECTNESS_FULL.json.
 QUERIES = {
-    # --- round-4 additions the driver has not yet value-checked -----------
-    "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
-    "dedup_semantic": q_dedup_semantic,
-    "search_bm25": q_search_bm25,
-    "chunk_documents": q_chunk_documents,
-    "bpe_learn_merges": q_bpe_learn_merges,
-    "similarity_knn_graph": q_similarity_knn_graph,
-    "bpe_segment_counts": q_bpe_segment_counts,
-    "graph_pagerank": q_graph_pagerank,
-    "graph_triangles": q_graph_triangles,
-    "sketch_hll": q_sketch_hll,
-    "sketch_cms": q_sketch_cms,
-    "cluster_kmeans": q_cluster_kmeans,
-    "graph_communities": q_graph_communities,
-    "search_hybrid": q_search_hybrid,
-    "similarity_jl_project": q_similarity_jl_project,
-    "cluster_pq_codes": q_cluster_pq_codes,
-    "similarity_pq_topk": q_similarity_pq_topk,
-    "similarity_ivfpq": q_similarity_ivfpq,
-    "graph_bfs": q_graph_bfs,
-    "cluster_kcenter": q_cluster_kcenter,
-    "bloom_semijoin": q_bloom_semijoin,
-    "blocklist_filter": q_blocklist_filter,
-    "bpe_pair_counts": q_bpe_pair_counts,
-    "winnow_fingerprint": q_winnow_fingerprint,
-    "events_sessions": q_events_sessions,
-    "events_rollup": q_events_rollup,
-    "events_neighbors": q_events_neighbors,
-    "orders_split_routing": q_orders_split_routing,
-    "events_type_share": q_events_type_share,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q6": q_tpch_q6,
-    "order_enrich_broadcast": q_order_enrich_broadcast,
-    "top_orders_per_cust": q_top_orders_per_cust,
-    "cust_no_orders": q_cust_no_orders,
-    "media_frame_plan": q_media_frame_plan,
-    "media_features": q_media_features,
-    "cluster_embeddings": q_cluster_embeddings,
-    # --- semantics touched in round 5 (keep inside the driver window) -----
-    "dsir_weights": q_dsir_weights,
-    "similarity_ann": q_similarity_ann,
-    "similarity_topk": q_similarity_topk,
-    "similarity_ivf": q_similarity_ivf,
-    "similarity_lsh_buckets": q_similarity_lsh_buckets,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "dedup_embedding_pairs": q_dedup_embedding_pairs,
-    "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
-    "dedup_ngram_jaccard_verify": q_dedup_ngram_jaccard_verify,
-    "pack_sequences": q_pack_sequences,
-    "decontaminate": q_decontaminate,
-    # --- long-stable tail (driver-green r1-r4; CORRECTNESS_FULL.json) -----
+    # --- not covered by CORRECTNESS_r05 (round-5 tail) --------------------
     "er_mentions": q_er_mentions,
     "er_blocking_sortkey": q_er_blocking_sortkey,
     "er_blocking_minhash": q_er_blocking_minhash,
@@ -1773,4 +1740,57 @@ QUERIES = {
     "mix_corpora": q_mix_corpora,
     "strip_common_chunks": q_strip_common_chunks,
     "domain_cap": q_domain_cap,
+    # --- internals touched in round 6, not in the 38 above ----------------
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "bloom_semijoin": q_bloom_semijoin,
+    "cluster_embeddings": q_cluster_embeddings,
+    # --- filler from the round-5 window (slots 43-50) ---------------------
+    "similarity_topk": q_similarity_topk,
+    "tpch_q1": q_tpch_q1,
+    "dsir_weights": q_dsir_weights,
+    "decontaminate": q_decontaminate,
+    "pack_sequences": q_pack_sequences,
+    "dedup_embedding_pairs": q_dedup_embedding_pairs,
+    "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
+    "dedup_ngram_jaccard_verify": q_dedup_ngram_jaccard_verify,
+    # --- driver-green in round 5 (CORRECTNESS_r05 + FULL) -----------------
+    "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
+    "dedup_semantic": q_dedup_semantic,
+    "search_bm25": q_search_bm25,
+    "chunk_documents": q_chunk_documents,
+    "bpe_learn_merges": q_bpe_learn_merges,
+    "similarity_knn_graph": q_similarity_knn_graph,
+    "bpe_segment_counts": q_bpe_segment_counts,
+    "graph_pagerank": q_graph_pagerank,
+    "graph_triangles": q_graph_triangles,
+    "sketch_hll": q_sketch_hll,
+    "sketch_cms": q_sketch_cms,
+    "cluster_kmeans": q_cluster_kmeans,
+    "graph_communities": q_graph_communities,
+    "search_hybrid": q_search_hybrid,
+    "similarity_jl_project": q_similarity_jl_project,
+    "cluster_pq_codes": q_cluster_pq_codes,
+    "similarity_pq_topk": q_similarity_pq_topk,
+    "similarity_ivfpq": q_similarity_ivfpq,
+    "graph_bfs": q_graph_bfs,
+    "cluster_kcenter": q_cluster_kcenter,
+    "blocklist_filter": q_blocklist_filter,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "winnow_fingerprint": q_winnow_fingerprint,
+    "events_sessions": q_events_sessions,
+    "events_rollup": q_events_rollup,
+    "events_neighbors": q_events_neighbors,
+    "orders_split_routing": q_orders_split_routing,
+    "events_type_share": q_events_type_share,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q6": q_tpch_q6,
+    "order_enrich_broadcast": q_order_enrich_broadcast,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    "cust_no_orders": q_cust_no_orders,
+    "media_frame_plan": q_media_frame_plan,
+    "media_features": q_media_features,
+    "similarity_ann": q_similarity_ann,
+    "similarity_ivf": q_similarity_ivf,
+    "similarity_lsh_buckets": q_similarity_lsh_buckets,
 }

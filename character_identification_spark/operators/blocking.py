@@ -57,10 +57,13 @@ def sortkey_blocks(
     mentions: DataFrame,
     prefix_len: int = 4,
     families: tuple[str, ...] = ("prefix", "soundex", "init_last"),
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(mention_uid, norm) → (mention_uid, block_key) for prefix + phonetic
-    keys. Cheap families catch typo'd tails and spelling variants;
-    ``families`` selects which key families to emit."""
+    """(mention_uid, norm) → (mention_uid, block_key[, *passthrough]) for
+    prefix + phonetic keys. Cheap families catch typo'd tails and spelling
+    variants; ``families`` selects which key families to emit;
+    ``passthrough`` carries extra input columns through (so a downstream
+    consumer that needs them skips a join back on mention_uid)."""
     known = {"prefix", "soundex", "init_last"}
     unknown = set(families) - known
     if unknown or not families:
@@ -68,12 +71,14 @@ def sortkey_blocks(
             f"sortkey_blocks families must be a non-empty subset of "
             f"{sorted(known)}; got {families!r}"
         )
+    extra = [F.col(c) for c in passthrough]
     parts = []
     if "prefix" in families:
         parts.append(
             mentions.select(
                 "mention_uid",
                 F.concat(F.lit("sk:"), F.substring("norm", 1, prefix_len)).alias("block_key"),
+                *extra,
             )
         )
     if "soundex" in families:
@@ -83,6 +88,7 @@ def sortkey_blocks(
                 F.concat(
                     F.lit("sx:"), F.soundex(F.split("norm", " ").getItem(0))
                 ).alias("block_key"),
+                *extra,
             )
         )
     # initial + last token ("r geller" ∧ "ross geller" → "il:r:geller"):
@@ -99,6 +105,7 @@ def sortkey_blocks(
                     F.lit(":"),
                     F.element_at(toks, -1),
                 ).alias("block_key"),
+                *extra,
             ).filter(F.size(toks) >= 2)
         )
     out = parts[0]
@@ -124,6 +131,7 @@ def minhash_lsh_blocks(
     n_gram: int = 3,
     num_hashes: int = 12,
     band_size: int = 2,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """(mention_uid, norm) → (mention_uid, block_key) via banded MinHash.
 
@@ -165,20 +173,24 @@ def minhash_lsh_blocks(
             for b in range(n_bands)
         ]
     )
+    extra = [F.col(c) for c in passthrough]
     return (
         mentions
         # the exploded formulation dropped null-norm rows at the explode;
         # the projection form must drop them explicitly
         .filter(F.col("norm").isNotNull())
-        .select("mention_uid", base.alias("hb"))
+        .select("mention_uid", base.alias("hb"), *extra)
         .select(
-            "mention_uid", F.posexplode(band_sigs).alias("band", "band_sig")
+            "mention_uid",
+            F.posexplode(band_sigs).alias("band", "band_sig"),
+            *extra,
         )
         .select(
             "mention_uid",
             F.concat(F.lit("mh:"), F.col("band"), F.lit(":"), F.col("band_sig")).alias(
                 "block_key"
             ),
+            *extra,
         )
     )
 
@@ -191,13 +203,18 @@ def assign_blocks(
     band_size: int = 2,
     max_block_size: int | None = 200,
 ) -> DataFrame:
-    """Union of all block families, deduped, capped. Output:
-    (mention_uid, block_key)."""
+    """Union of all block families, capped. Output:
+    (mention_uid, block_key).
+
+    Input contract: one row per mention_uid. Under it, (mention_uid,
+    block_key) duplicates are impossible — every family emits a distinct
+    key prefix ('sk:' / 'sx:' / 'il:' / 'mh:<band>:') and at most one key
+    per (mention, family/band) — so the union needs no dedup (round-6:
+    the old dropDuplicates was a no-op paying a full (uid, key) shuffle).
+    """
     keyed = mentions.select("mention_uid", "norm")
-    assign = (
-        sortkey_blocks(keyed, prefix_len)
-        .unionByName(minhash_lsh_blocks(keyed, n_gram, num_hashes, band_size))
-        .dropDuplicates(["mention_uid", "block_key"])
+    assign = sortkey_blocks(keyed, prefix_len).unionByName(
+        minhash_lsh_blocks(keyed, n_gram, num_hashes, band_size)
     )
     if max_block_size:
         assign = cap_block_sizes(assign, max_block_size)

@@ -116,14 +116,15 @@ def bloom_contains_broadcast(
     so plan size is O(1) in m_bits and each executor holds ONE shared
     copy of the filter (m_bits/8 bytes — a 10⁸-bit filter is 12.5 MB).
 
-    The Python-side hash replicates h_long bit-for-bit
-    (md5('bloom{i}|' + str(key))[:15] as an integer — the same digest
-    both engines compute), so literal and broadcast forms are value-
-    identical wherever both are legal; property-tested in
-    tests/test_bloom.py. NULL keys test False, matching the literal
-    form's coalesce."""
-    import hashlib
-
+    Round-6 rework (was the repo's last per-row-Python hot path): the g
+    bit positions are computed JVM-SIDE by the literal form's _positions
+    expressions (one vectorized-codegen F.md5 each — identical digests by
+    construction, so literal and broadcast forms stay value-identical;
+    property-tested in tests/test_bloom.py) and enter the UDF as one
+    array<long> column. The UDF body is a pure numpy word-gather
+    ``(w[p >> 5] >> (p & 31)) & 1`` over the whole batch — no hashlib, no
+    per-row loop. A NULL key hashes to NULL positions (NaN in the batch)
+    and tests False, matching the literal form's coalesce."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -134,30 +135,24 @@ def bloom_contains_broadcast(
     # no type hints: `from __future__ import annotations` stringifies
     # them and PySpark's hint inference then rejects the signature —
     # the hint-free form defaults to the scalar Arrow eval type
-    def _test_fn(keys):
+    def _test_fn(pos_batch):
         w = bc.value
-        out = []
-        for ks in keys:
-            # keys arrive PRE-CAST to string by the engine (below), so
-            # the bytes hashed here are exactly the engine's rendering —
-            # a long column with NULLs would otherwise reach pandas as
-            # float64 and str(7.0) != '7'
-            if ks is None:
-                out.append(False)
-                continue
-            ok = True
-            for i in range(g):
-                p = int(
-                    hashlib.md5(f"bloom{i}|{ks}".encode()).hexdigest()[:15], 16
-                ) % m_bits
-                if not (int(w[p // WORD_BITS]) >> (p % WORD_BITS)) & 1:
-                    ok = False
-                    break
-            out.append(ok)
+        n = len(pos_batch)
+        out = np.zeros(n, dtype=bool)
+        if n:
+            # (n, g) float64 matrix; NULL positions (NULL key) become NaN.
+            # Positions are < m_bits ≪ 2^53, exact in float64.
+            mat = np.array(pos_batch.tolist(), dtype="float64")
+            valid = ~np.isnan(mat).any(axis=1)
+            if valid.any():
+                p = mat[valid].astype(np.int64)
+                bits = (w[p >> 5] >> (p & 31)) & 1
+                out[valid] = bits.all(axis=1)
         return pd.Series(out, dtype="bool")
 
     _test = pandas_udf(_test_fn, "boolean")
-    return _test(F.col(key_col).cast("string"))
+    pos = F.array(*_positions(F.col(key_col), m_bits, g))
+    return _test(pos)
 
 
 def bloom_semijoin_stats(

@@ -84,7 +84,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
     checkpoint_every: int = 1,
-    converge_check_every: int = 2,
+    converge_check_every: int = 1,
 ) -> DataFrame:
     """edges(u, v) → assignments(node, component) where component is the
     minimum node id in the component (ids may be longs or strings — only
@@ -92,10 +92,12 @@ def connected_components(
     absent (caller unions singletons; see attach_singletons).
 
     ``converge_check_every`` > 1 skips the edge-set-signature job on
-    intermediate rounds: CC typically converges in 3-5 rounds, and each
-    signature check is a full scan of the current edge set — checking
-    every 2nd round trades at most one extra (cheap, already-shrunken)
-    star round for half the convergence scans."""
+    intermediate rounds. Round-6 default: check EVERY round — the
+    signature is a count+bit_xor scan over the localCheckpointed
+    (memory-resident) edge set, measured ~10× cheaper than a star round
+    (0.1-0.2 s vs 1.2-2.7 s at sf0.1), so skipping checks buys nothing
+    and costs one extra full round after convergence. Raise it only if
+    the checkpointed edge scan ever rivals a round's cost."""
     cur = _orient(edges).localCheckpoint(eager=True)
     prev_sig = None
     for i in range(max_iter):

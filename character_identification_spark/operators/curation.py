@@ -94,13 +94,18 @@ def repetition_stats(
     more than two extra pruned columnar scans, and the explode OUTPUT,
     not the scan, dominates bytes at any scale.
     """
+    from character_identification_spark.functions.partitioning import fan_out
+
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.length(text_col).alias("n_chars")
     )
+    # the gram build + explode is the heavy scan-stage work: spread a tiny
+    # input (one file split) across the cluster first
+    fanned = fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col)
     ex = None
     for n in (2, 3, 5):
-        part = docs.select(
+        part = fanned.select(
             F.col(id_col).alias("doc_id"),
             F.lit(n).alias("n"),
             F.explode(_grams(toks, n)).alias("gram"),

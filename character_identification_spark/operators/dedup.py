@@ -106,9 +106,13 @@ def _minhash_min_arrays(
             )
         )
 
+    from character_identification_spark.functions.partitioning import fan_out
+
     mhs = F.array(*[_seed_min(i) for i in range(num_hashes)])
     return (
-        docs.filter(F.col(text_col).isNotNull())
+        # num_hashes md5s per shingle is the dominant per-row cost; a tiny
+        # input (one file split) would run it on one task — fan out first
+        fan_out(docs.filter(F.col(text_col).isNotNull()), id_col)
         # _sh materializes as a named column so the shingle array is
         # computed once, not re-inlined into all num_hashes transforms
         .select(F.col(id_col), sh_expr.alias("_sh"))
@@ -222,7 +226,9 @@ def minhash_dup_pairs(
         .select("id1", "id2")
         .distinct()
     )
-    sh = docs.select(
+    from character_identification_spark.functions.partitioning import fan_out
+
+    sh = fan_out(docs, id_col).select(
         F.col(id_col), word_shingles(text_col, n_gram).alias("shingles")
     )
     verified = (
@@ -335,7 +341,11 @@ def simhash(
     # the relational twin does so implicitly, the contract must match
     id_type = docs.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, simhash long"
-    return docs.select(id_col, text_col).mapInPandas(fn, schema)
+    from character_identification_spark.functions.partitioning import fan_out
+
+    # tokenize+md5+vote is per-row heavy: spread a tiny input (one file
+    # split) across the cluster before the batch UDF
+    return fan_out(docs.select(id_col, text_col), id_col).mapInPandas(fn, schema)
 
 
 def _simhash_relational(

@@ -82,13 +82,14 @@ def match_edges_sparse(
     """
     from character_identification_spark.operators.scoring import _score_strings
 
-    a = (
-        assign.join(mentions.select("mention_uid", "norm"), "mention_uid")
-        .filter(F.col("norm").isNotNull())
-        .withColumn(
-            "rep",
-            F.min("mention_uid").over(Window.partitionBy("block_key", "norm")),
-        )
+    normed = (
+        assign
+        if "norm" in assign.columns
+        else assign.join(mentions.select("mention_uid", "norm"), "mention_uid")
+    )
+    a = normed.filter(F.col("norm").isNotNull()).withColumn(
+        "rep",
+        F.min("mention_uid").over(Window.partitionBy("block_key", "norm")),
     )
     stars = a.filter(F.col("mention_uid") != F.col("rep")).select(
         F.col("mention_uid").alias("u"), F.col("rep").alias("v")

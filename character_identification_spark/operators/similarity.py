@@ -405,7 +405,14 @@ def ann_topk(
     (BENCH.md, sf0.001/sf0.01): 2×6 rises 0.075→0.375 / 0.113→0.338;
     2×4 reaches 0.738 / 0.662 — past IVF at nprobe=8 — making
     multiprobe 2×4 the recommended sign-LSH operating point (recall
-    unchanged under the default cap at those scales — BENCH.md r5)."""
+    unchanged under the default cap at those scales — BENCH.md r5).
+
+    NOTE (default-on trade): ``max_bucket_size=1000`` means any bucket
+    past 1000 rows is deterministically split and each probe lands in ONE
+    sub-bucket — effectively 1/nsplit sampling of oversize buckets.
+    Measured recall drops 0.738→0.562 at the forced-split point
+    (BENCH.md r5). Pass ``max_bucket_size=None`` for exact bucket joins
+    when the corpus is known skew-free and recall is paramount."""
     cand = ann_candidates(
         corpus,
         queries,
@@ -454,7 +461,13 @@ def knn_graph(
     probe_rows × cap — linear in N, property-tested), and passing
     ``n_planes=None`` sizes the bucket space to the corpus
     (⌈log₂(N/cap)⌉ planes) instead of the flat 4 that made per-bucket
-    volume grow with N."""
+    volume grow with N.
+
+    NOTE (default-on trade): the cap deterministically samples oversize
+    buckets (each probe sees ONE of the ⌈size/cap⌉ sub-buckets), so
+    recall on skewed corpora is below the uncapped figure — measured
+    0.738→0.562 at the forced-split point (BENCH.md r5). Pass
+    ``max_bucket_size=None`` to opt back into exact bucket joins."""
     return ann_topk(
         corpus,
         corpus.select(

@@ -681,7 +681,16 @@ def link_transcript_mentions(
                 F.coalesce("cnt", F.lit(0)).alias("cnt"),
             )
         )
-        wprior = Window.partitionBy("_aepi", "ref").orderBy("scene_id").rowsBetween(
+        # order scenes by the NUMERIC index of the _c suffix, not the raw
+        # scene_id string: lexicographic order silently misorders '_c2'
+        # vs '_c10' (unpadded ids, or episodes with ≥100 scenes)
+        # nullif guards ANSI: a suffix-less scene_id extracts '' and a
+        # bare ''→int cast would throw; NULL sorts first instead
+        sidx = F.nullif(
+            F.regexp_extract("scene_id", r"_c(\d+)$", 1), F.lit("")
+        ).cast("int")
+        cells = cells.withColumn("_sidx", sidx)
+        wprior = Window.partitionBy("_aepi", "ref").orderBy("_sidx").rowsBetween(
             Window.unboundedPreceding, -1
         )
         cand = (
@@ -690,7 +699,7 @@ def link_transcript_mentions(
             )
             .withColumn(
                 "last_seen",
-                F.max(F.when(F.col("cnt") > 0, F.col("scene_id"))).over(wprior),
+                F.max(F.when(F.col("cnt") > 0, F.col("_sidx"))).over(wprior),
             )
             .filter(F.col("prior_cnt") > 0)
             .withColumn("g", label_gender("ref"))
