@@ -250,6 +250,11 @@ def q_er_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered = assign.select(
         "cluster_id", "norm", "surface", F.col("p_partkey").cast("string").alias("url")
     )
+    # canonical_entities consumes clustered twice (name stats + page
+    # counts); materialize the |mentions|-sized slice once instead of
+    # re-running the attach join + CC-output aggregate per branch
+    # (measured 1.0 → 0.3 s warm, and one fewer codegen subtree cold)
+    clustered = clustered.localCheckpoint(eager=True)
     ents = canonical_entities(clustered)
     # the driver's pandas canonicalizer can't factorize array columns —
     # join the alias set to a '|'-separated string (format-stable in both
