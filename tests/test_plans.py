@@ -353,3 +353,112 @@ def test_knn_graph_salted_join_no_corpus_broadcast(spark):
     # the salted join keys must appear in the optimized plan
     opt = g._jdf.queryExecution().optimizedPlan().toString()
     assert "salt" in opt and "bucket" in opt
+
+
+@needs_data
+def test_minhash_signatures_zero_shuffle(spark):
+    """Round-6 claim, machine-checked: DOCUMENT MinHash signatures (and
+    the fused bucket rows feeding minhash_dup_pairs) are pure
+    projections — no Exchange; the old form shuffled docs × shingles ×
+    seeds through two groupBys. The fan-out repartition is the ONLY
+    exchange allowed in the bucket path, and only when the input has
+    fewer partitions than the session default (here we pre-partition to
+    defaultParallelism so the plan must contain none)."""
+    from character_identification_spark.operators.dedup import (
+        _minhash_bucket_rows,
+        minhash_signatures,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .localCheckpoint(eager=True)  # pin partitioning; isolate the op
+    )
+    assert "Exchange" not in plan_of(minhash_signatures(docs)), "sigs shuffle"
+    assert "Exchange" not in plan_of(
+        _minhash_bucket_rows(docs, "doc_id", "text", 3, 16, 2)
+    ), "bucket rows shuffle"
+
+
+@needs_data
+def test_canonical_entities_no_window_no_expand(spark):
+    """Round-6 claim, machine-checked: canonical_entities is a two-level
+    aggregation — the row_number Window and the multi-countDistinct
+    Expand (3× row blowup) are gone from the plan."""
+    from character_identification_spark.operators.canonicalize import (
+        canonical_entities,
+    )
+
+    clustered = spark.createDataFrame(
+        [(1, 10, "a", "A", "u1"), (1, 11, "b", "B", "u2")],
+        "cluster_id long, mention_uid long, norm string, surface string, url string",
+    )
+    plan = plan_of(canonical_entities(clustered))
+    assert "Window" not in plan, plan
+    assert "Expand" not in plan, plan
+
+
+def test_cc_star_round_shuffle_budget(spark):
+    """Round-6 claim, machine-checked: one large+small star composition
+    over an oriented-distinct input plans 11 Exchange nodes (the round-5
+    form with the symmetrize/orient distincts planned 14 — measured in
+    this round's A/B; identical ones collapse further via AQE exchange
+    reuse at runtime)."""
+    import re
+
+    from character_identification_spark.operators.cc import (
+        _large_star,
+        _orient,
+        _small_star,
+    )
+
+    edges = _orient(
+        spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "u long, v long")
+    ).localCheckpoint(eager=True)
+    plan = plan_of(_small_star(_large_star(edges)))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 11, f"{n_exchange} exchanges\n{plan}"
+
+
+@needs_data
+def test_bloom_broadcast_probe_positions_jvm_side(spark):
+    """Round-6 claim, machine-checked: the broadcast Bloom probe's md5
+    positions are Catalyst expressions (md5/conv visible in the plan
+    below the Python eval node) and the UDF is Arrow-evaluated — no
+    BatchEvalPython (pickled row-at-a-time) node anywhere."""
+    from character_identification_spark.operators.bloom import (
+        bloom_contains_broadcast,
+        bloom_filter_words,
+    )
+
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    words = bloom_filter_words(keys, "k", 1 << 16, 3)
+    probe = spark.range(1000).select(F.col("id").alias("pk"))
+    df = probe.withColumn(
+        "pass", bloom_contains_broadcast(spark, "pk", words, 1 << 16, 3)
+    )
+    plan = plan_of(df)
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "md5" in plan and "conv" in plan, plan
+
+
+@needs_data
+def test_er_blocks_no_dedup_aggregate(spark):
+    """Round-6 claim, machine-checked: the ER block-family union feeds
+    cap_block_sizes directly — no aggregate between the Union and the
+    Window (the old dropDuplicates was a provable no-op paying a full
+    (uid, key) shuffle), and exactly ONE Exchange (the window's own
+    block_key partitioning)."""
+    from character_identification_spark.driver_contract import (
+        _er_blocks_df,
+        _er_mentions_df,
+    )
+
+    import re
+
+    plan = plan_of(_er_blocks_df(_er_mentions_df(spark, SF)))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    # no aggregate anywhere (the plan is scan → project → union → window)
+    assert "HashAggregate" not in plan, plan
