@@ -91,31 +91,50 @@ def connected_components(
     ordering and equality are used). Nodes that appear in no edge are
     absent (caller unions singletons; see attach_singletons).
 
-    ``converge_check_every`` > 1 skips the edge-set-signature job on
-    intermediate rounds. Round-6 default: check EVERY round — the
-    signature is a count+bit_xor scan over the localCheckpointed
-    (memory-resident) edge set, measured ~10× cheaper than a star round
-    (0.1-0.2 s vs 1.2-2.7 s at sf0.1), so skipping checks buys nothing
-    and costs one extra full round after convergence. Raise it only if
-    the checkpointed edge scan ever rivals a round's cost."""
+    ``converge_check_every`` > 1 skips the convergence-check job on
+    intermediate rounds. Round-6 default: check EVERY round — the check
+    is one keyed agg over the localCheckpointed (memory-resident) edge
+    set, far cheaper than a star round, so skipping checks buys nothing
+    and costs extra full rounds after convergence.
+
+    Convergence is detected STRUCTURALLY, not by comparing consecutive
+    edge sets: the loop's terminal states are exactly the "stars rooted
+    at the component minimum" sets, recognizable the round one first
+    appears by (1) every source u occurring exactly ONCE and (2) no
+    target v also occurring as a source. (1)∧(2) means the edge set is a
+    height-1 forest u→root with root < every member (the loop's u > v
+    orientation invariant), i.e. root = component min — and such a set
+    is a fixpoint of both stars, so breaking on it yields the same
+    assignments as running to signature equality while saving the one
+    extra large+small round that a compare-to-previous check needs to
+    observe the set repeat. Both conditions are required: a set where a
+    node keeps TWO parents (u duplicated) can satisfy (2) alone while
+    its parents still await merging."""
     cur = _orient(edges).localCheckpoint(eager=True)
-    prev_sig = None
     for i in range(max_iter):
         cur = _small_star(_large_star(cur))
         if checkpoint_every and (i % checkpoint_every == 0):
             cur = cur.localCheckpoint(eager=True)
         if (i + 1) % converge_check_every and i + 1 < max_iter:
             continue
-        # edge-set signature: count + XOR of row hashes (overflow-free under
-        # ANSI mode; edges are distinct so XOR is a valid set digest)
-        sig = cur.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-        ).collect()[0]
-        sig = (sig["n"], sig["h"])
-        if sig == prev_sig:
+        ends = cur.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("node"), F.lit(1).alias("src")),
+                    F.struct(F.col("v").alias("node"), F.lit(0).alias("src")),
+                )
+            ).alias("e")
+        ).select("e.node", "e.src")
+        violations = (
+            ends.groupBy("node")
+            .agg(F.sum("src").alias("n_src"), F.count("*").alias("n_all"))
+            .filter(
+                (F.col("n_src") > 1)
+                | ((F.col("n_src") >= 1) & (F.col("n_all") > F.col("n_src")))
+            )
+        )
+        if violations.isEmpty():
             break
-        prev_sig = sig
     # converged: every edge is (node, root) with root = component min
     assign = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = cur.select(F.col("v").alias("node")).distinct().withColumn(

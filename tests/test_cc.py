@@ -57,6 +57,32 @@ def test_attach_singletons(spark):
     assert out == {1: 1, 2: 1, 99: 99}
 
 
+def test_already_star_input_converges_first_round(spark):
+    # input already stars-at-min: the structural convergence check (u's
+    # unique, no v also a u) fires on round 0's output and the early
+    # break must still yield the full correct assignment
+    edges = [(2, 1), (3, 1), (4, 1), (11, 10)]
+    cc = _assign(connected_components(_edges(spark, edges)))
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_shared_member_hubs_fully_merge(spark):
+    # two hubs sharing a member: intermediate states can have a node with
+    # TWO parents whose roots are not yet merged — the shape that makes a
+    # "no v is also a u" check alone unsound. The paired uniqueness
+    # condition must keep the loop running until 1 and 3 actually merge.
+    edges = [(10, 1), (10, 2), (11, 2), (11, 3), (12, 3), (12, 4)]
+    cc = _assign(connected_components(_edges(spark, edges)))
+    assert cc == {n: 1 for n in (1, 2, 3, 4, 10, 11, 12)}
+
+
+def test_long_chain_many_rounds(spark):
+    # 64-node chain: needs several star rounds; the early-break check must
+    # never fire before the true fixpoint
+    cc = _assign(connected_components(_edges(spark, [(i, i + 1) for i in range(1, 64)])))
+    assert cc == {i: 1 for i in range(1, 65)}
+
+
 def test_gold_replay_fidelity(spark, small_corpus):
     """CC over gold-labeled intra-block pairs reproduces gold clusters at
     pairwise F1 == 1.0 — the reference's 'Clusters recreated with 100%
