@@ -157,9 +157,29 @@ def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
         _, first_idx = np.unique(codes, return_index=True)
         ua, ub = a.iloc[first_idx], b.iloc[first_idx]
         try:
-            # fast path: ascii ≤64 chars → vectorized numpy batch
-            if (ua.str.len().max() or 0) <= 64 and (ub.str.len().max() or 0) <= 64:
-                uvals = np.asarray(_jaro_winkler_np(ua, ub))
+            # fast path: ascii ≤64 chars → vectorized numpy batch.
+            # Rows are bucketed by their OWN max length before the batch
+            # kernel runs: _jaro_winkler_np pads every row to the batch
+            # max L and scans L² column pairs, so one 50-char outlier
+            # would make every 12-char pair pay a 16× larger scan. Row
+            # results are independent of batch composition (L only adds
+            # zero padding), so per-bucket evaluation is bit-identical —
+            # pinned by test_jw_udf_bucketing_matches_scalar.
+            la = ua.str.len().to_numpy()
+            lb = ub.str.len().to_numpy()
+            if (la.max(initial=0) or 0) <= 64 and (lb.max(initial=0) or 0) <= 64:
+                lens = np.maximum(la, lb)
+                uvals = np.empty(len(ua), dtype="float64")
+                done = np.zeros(len(ua), dtype=bool)
+                for bound in (8, 12, 16, 24, 32, 48, 64):
+                    sel = ~done & (lens <= bound)
+                    if sel.any():
+                        uvals[sel] = np.asarray(
+                            _jaro_winkler_np(ua[sel], ub[sel])
+                        )
+                        done |= sel
+                    if done.all():
+                        break
             else:
                 raise UnicodeEncodeError("ascii", "", 0, 0, "too long")
         except (UnicodeEncodeError, UnicodeDecodeError):

@@ -57,6 +57,36 @@ def test_norm_text(spark):
     assert out == ["ross geller", "j r r tolkien", ""]
 
 
+def test_jw_udf_bucketing_matches_scalar(spark):
+    """The UDF's per-length-bucket evaluation must be value-identical to
+    the scalar reference on a batch that spans every bucket boundary,
+    including a >48-char pair, boundary-exact lengths, duplicates (the
+    factorize path), empties, and NULLs."""
+    pairs = [
+        ("ab", "ba"),
+        ("a" * 8, "a" * 7 + "b"),
+        ("rossgeller", "rossgellar"),          # ≤12
+        ("a" * 12 + "xyz", "a" * 12 + "xzy"),  # ≤16
+        ("chandler kingsley", "charlie kingsley"),
+        ("a" * 24, "a" * 23 + "q"),            # boundary 24
+        ("wilhelmina vanderbilt-rockefeller", "wilhelmina vanderbilt rockefeler"),
+        ("b" * 47 + "z", "b" * 48),            # ≤48
+        ("c" * 63, "c" * 62 + "d"),            # ≤64
+        ("", "abc"),
+        ("", ""),
+        ("rossgeller", "rossgellar"),          # duplicate of an earlier pair
+        (None, "x"),
+    ]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    rows = df.select("a", "b", jaro_winkler_udf("a", "b").alias("jw")).collect()
+    for r in rows:
+        if r["a"] is None or r["b"] is None:
+            assert r["jw"] is None
+        else:
+            assert r["jw"] == pytest.approx(jaro_winkler(r["a"], r["b"]), abs=0), (
+                r["a"], r["b"])
+
+
 def test_vectorized_jw_matches_scalar_property():
     """The numpy batch Jaro-Winkler must be bit-identical to the scalar
     reference implementation (which is itself DuckDB-compatible)."""
